@@ -1,0 +1,180 @@
+"""Unified PII/toxicity detection, precedence resolution, and substitution.
+
+This module freezes the engine's scrub semantics. The reference runs three
+sequential text-mutating stages (regex → NER → LLM), but its own
+correctness oracle runs all detectors on the RAW text and resolves
+precedence by span overlap to avoid index shift
+(/root/reference/tests/unit/test_pipeline_integration.py:49-143). We adopt
+that oracle semantics as the single-pass physical plan: detect everything
+on original offsets, resolve, substitute once. This also fuses three Arrow
+round-trips into one pandas-UDF stage (see operators/scrub.py).
+
+Frozen convention (parity citations into /root/reference):
+ 1. Regex scan of the five patterns in declared order, candidates
+    validated algorithmically (regex_service.py:45-75; validators.py:95-131).
+ 2. Regex-internal overlap resolution: stable sort by start; group every
+    subsequent match whose start lies before the END OF THE FIRST match of
+    the group (the group anchor is NOT extended — regex_service.py:89-102);
+    keep the minimum-priority-number match of the group, first-wins on ties
+    (regex_service.py:104-108 via min()).
+ 3. Dictionary-NER candidates with noise guards + longest-match filter
+    (ner_dictionary.py; ner_service.py:95-216), then DROP any that overlap
+    a surviving regex span (test_pipeline_integration.py:101-116).
+ 4. Toxicity word hits, dropped if overlapping any surviving regex/NER span
+    (north-rule addition; same precedence rule as the reference's third
+    stage, test_pipeline_integration.py:122-139).
+ 5. One substitution pass: placeholders "[{TYPE}_{n}]" numbered
+    left-to-right per type, replacements applied right-to-left so indices
+    never shift (regex_service.py:115-161). Mapping spans record ORIGINAL
+    text offsets (the regex-stage convention, regex_service.py:146; we
+    normalize the reference NER stage's post-substitution-span asymmetry,
+    ner_service.py:273, in favor of original offsets).
+Overlap predicate everywhere: a.start < b.end AND a.end > b.start
+(test_pipeline_integration.py:49-55).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, List, Sequence, Tuple
+
+from .ner_dictionary import find_entities
+from .patterns import DEFAULT_PRIORITY, PII_PATTERNS, TYPE_PRIORITY, make_placeholder
+from .toxicity import find_toxic
+from .validators import validate_pii
+
+Detection = Dict[str, Any]  # {type, value, start, end}
+
+
+def spans_overlap(a_start: int, a_end: int, b_start: int, b_end: int) -> bool:
+    return a_start < b_end and a_end > b_start
+
+
+def find_regex_matches(text: str, validate: bool = True) -> List[Detection]:
+    """Scan the five PII patterns in declared order; validated candidates."""
+    found: List[Detection] = []
+    for pii_type, pattern in PII_PATTERNS.items():
+        for m in pattern.finditer(text):
+            value = m.group(0)
+            if validate and not validate_pii(pii_type, value):
+                continue
+            found.append(
+                {"type": pii_type, "value": value, "start": m.start(), "end": m.end()}
+            )
+    return found
+
+
+def resolve_regex_overlaps(matches: List[Detection]) -> List[Detection]:
+    """First-match-anchored overlap grouping, min-priority survivor.
+
+    Exact parity with regex_service.py:77-113 including the quirk that the
+    group window is the first match's end (not the running max end).
+    """
+    if not matches:
+        return []
+    matches = sorted(matches, key=lambda d: d["start"])  # stable
+    survivors: List[Detection] = []
+    i = 0
+    n = len(matches)
+    while i < n:
+        anchor = matches[i]
+        window_end = anchor["end"]
+        j = i + 1
+        group = [anchor]
+        while j < n and matches[j]["start"] < window_end:
+            group.append(matches[j])
+            j += 1
+        survivors.append(
+            min(group, key=lambda d: TYPE_PRIORITY.get(d["type"], DEFAULT_PRIORITY))
+        )
+        i = j
+    return survivors
+
+
+def drop_overlapping(
+    candidates: Iterable[Detection], winners: Sequence[Detection]
+) -> List[Detection]:
+    """Keep candidates that overlap none of the winners' spans."""
+    kept = []
+    for c in candidates:
+        cs, ce = c["start"], c["end"]
+        if not any(spans_overlap(cs, ce, w["start"], w["end"]) for w in winners):
+            kept.append(c)
+    return kept
+
+
+def detect_all(
+    text: str,
+    validate: bool = True,
+    with_ner: bool = True,
+    with_toxicity: bool = True,
+) -> List[Detection]:
+    """Full precedence-resolved detection set, sorted by start offset."""
+    regex_hits = resolve_regex_overlaps(find_regex_matches(text, validate))
+    ner_hits: List[Detection] = []
+    if with_ner:
+        ner_hits = drop_overlapping(find_entities(text), regex_hits)
+    tox_hits: List[Detection] = []
+    if with_toxicity:
+        tox_hits = drop_overlapping(find_toxic(text), regex_hits + ner_hits)
+    final = regex_hits + ner_hits + tox_hits
+    final.sort(key=lambda d: d["start"])
+    return final
+
+
+def substitute(text: str, detections: List[Detection]) -> Tuple[str, List[Dict[str, Any]]]:
+    """Single right-to-left substitution pass with per-type L2R numbering.
+
+    Returns (scrubbed_text, mappings) where each mapping is
+    {placeholder, original_value, type, span_start, span_end} with spans in
+    ORIGINAL text offsets, mappings ordered by span_start ascending.
+    """
+    if not detections:
+        return text, []
+    ordered = sorted(detections, key=lambda d: d["start"])
+    counters: Dict[str, int] = {}
+    mappings: List[Dict[str, Any]] = []
+    for det in ordered:
+        t = det["type"]
+        counters[t] = counters.get(t, 0) + 1
+        mappings.append(
+            {
+                "placeholder": make_placeholder(t, counters[t]),
+                "original_value": det["value"],
+                "type": t,
+                "span_start": det["start"],
+                "span_end": det["end"],
+            }
+        )
+    # splice right-to-left so earlier offsets stay valid
+    out = text
+    for mp in reversed(mappings):
+        out = out[: mp["span_start"]] + mp["placeholder"] + out[mp["span_end"]:]
+    return out, mappings
+
+
+def scrub_text(
+    text: str,
+    validate: bool = True,
+    with_ner: bool = True,
+    with_toxicity: bool = True,
+) -> Tuple[str, List[Dict[str, Any]]]:
+    """Detect + resolve + substitute for one caption. None-safe."""
+    if not text:
+        return text or "", []
+    return substitute(text, detect_all(text, validate, with_ner, with_toxicity))
+
+
+def scrub_batch(
+    texts: Iterable[Any],
+    validate: bool = True,
+    with_ner: bool = True,
+    with_toxicity: bool = True,
+) -> List[Tuple[str, List[Dict[str, Any]]]]:
+    """Batch entry point used by the Arrow/pandas UDF in operators/scrub.py."""
+    out = []
+    for t in texts:
+        if t is None or not isinstance(t, str):
+            out.append(("" if t is None else str(t), []))
+        else:
+            out.append(scrub_text(t, validate, with_ner, with_toxicity))
+    return out

@@ -1,0 +1,232 @@
+"""Dictionary-backed named-entity detection (names, job titles, orgs, places).
+
+The reference detects these with a statistical spaCy model plus an
+EntityRuler token-grammar and a hand-tuned noise-guard stack
+(/root/reference/src/services/ner_service.py:34-216, patterns and
+false-positive set at /root/reference/src/core/constants.py:105-254).
+Per the north rule ("dictionary-backed name detection") we keep the
+*rule/dictionary semantics* — the profession grammar, the false-positive
+set, every noise guard, and the longest-match overlap filter — and replace
+the statistical model with deterministic dictionaries + capitalization
+grammars. This makes the stage reproducible, broadcast-able, and ~1000x
+cheaper than model-per-executor inference; label fidelity is defined
+against our own fixture oracle, not against spaCy's sampling noise.
+
+Emitted types match the reference mapping (constants.py:85-103):
+NOME_COMPLETO, ORGANIZACAO, LOCAL, CARGO.
+
+All grammars compile once at import. Candidate spans are produced on the
+RAW text; precedence vs regex-stage hits is resolved later (detect.py).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Tuple
+
+# ---------------------------------------------------------------------------
+# Vocabularies (module-level constants — shipped with --py-files, effectively
+# broadcast: each Python worker holds one copy per process).
+# ---------------------------------------------------------------------------
+
+# Reference false-positive suppression set (constants.py:198-254) — candidate
+# entities whose lowercased text equals one of these are dropped.
+FALSE_POSITIVES = frozenset({
+    "oi", "olá", "ei", "bom dia", "boa tarde", "boa noite", "use", "cpf",
+    "cnpj", "email", "telefone", "rg", "cep", "clt", "cnh", "ip", "mac",
+    "mac address", "endereço", "detalhes", "fraude", "evidências",
+    "digitais", "informações", "adicionais", "cúmplices", "dados",
+    "contato", "documentos", "cargo", "departamento", "matrícula",
+    "salário", "investigação", "relatório", "confidencial", "operação",
+    "assunto", "urgente", "funcionário", "principal", "sr", "sra", "dr",
+    "rh", "ti", "funcionário principal: nome", "evidências digitais",
+    "detalhes da fraude", "informações adicionais", "cúmplices:",
+    "contato: telefone", "setor de suprimentos matrícula",
+    "setor de suprimentos", "funcionário principal",
+})
+
+# Common Brazilian given names — seed dictionary for NOME_COMPLETO. A real
+# deployment would broadcast a much larger census-derived list; the grammar
+# below only keys off the FIRST token, so the list size only affects recall.
+FIRST_NAMES = frozenset({
+    "ana", "antônio", "antonio", "beatriz", "bruno", "camila", "carla",
+    "carlos", "carolina", "cláudia", "claudia", "cristina", "daniel",
+    "daniela", "diego", "eduardo", "elaine", "fabiana", "fábio", "fabio",
+    "felipe", "fernanda", "fernando", "francisco", "gabriel", "gabriela",
+    "gustavo", "helena", "henrique", "isabela", "joão", "joao", "jorge",
+    "josé", "jose", "juliana", "júlio", "julio", "larissa", "laura",
+    "leonardo", "letícia", "leticia", "lucas", "luciana", "luís", "luis",
+    "luiz", "manoel", "marcelo", "márcia", "marcia", "marcos", "maria",
+    "mariana", "matheus", "miguel", "natália", "natalia", "paula",
+    "paulo", "pedro", "rafael", "rafaela", "renata", "ricardo", "roberta",
+    "roberto", "rodrigo", "rosa", "sandra", "sérgio", "sergio", "simone",
+    "sofia", "tatiana", "thiago", "tiago", "vanessa", "vinícius",
+    "vinicius", "vítor", "vitor", "wagner",
+})
+
+# Name connectives allowed between capitalized surname tokens.
+NAME_CONNECTIVES = frozenset({"da", "de", "do", "das", "dos", "e"})
+
+# Job-title grammar vocabulary (reference constants.py:105-196).
+ROLE_WORDS = (
+    "analista", "gerente", "coordenador", "coordenadora", "diretor",
+    "diretora", "supervisor", "supervisora", "assistente", "estagiário",
+    "estagiária", "consultor", "consultora", "técnico", "técnica",
+    "engenheiro", "engenheira", "desenvolvedor", "desenvolvedora",
+    "especialista", "chefe", "lider", "líder",
+)
+SENIORITY_WORDS = ("júnior", "pleno", "sênior", "sr", "pl", "jr", "ii", "iii")
+# Domain nouns that may follow "<role> de ..." — bounds the reference's
+# open-ended {"OP": "+"} token pattern deterministically.
+ROLE_DOMAIN_WORDS = (
+    "vendas", "marketing", "sistemas", "software", "dados", "segurança",
+    "rh", "recursos", "humanos", "financeiro", "finanças", "produto",
+    "produtos", "projetos", "ti", "informática", "manutenção", "suporte",
+    "enfermagem", "qualidade", "logística", "operações", "compras",
+    "contabilidade", "atendimento", "infraestrutura", "redes",
+)
+SINGLE_WORD_CARGOS = (
+    "médico", "médica", "advogado", "advogada", "professor", "professora",
+    "motorista", "recepcionista",
+)
+
+# City dictionary for LOCAL (seed list; broadcast-scale in production).
+CITIES = (
+    "São Paulo", "Rio de Janeiro", "Belo Horizonte", "Porto Alegre",
+    "Curitiba", "Salvador", "Recife", "Fortaleza", "Campinas", "Niterói",
+    "Brasília", "Manaus", "Goiânia", "Florianópolis", "Santos",
+)
+
+STREET_PREFIXES = ("Rua", "Avenida", "Av\\.", "Travessa", "Praça", "Alameda",
+                   "Rodovia", "Estrada")
+
+ORG_PREFIXES = ("Banco", "Grupo", "Empresa", "Companhia", "Instituto",
+                "Universidade", "Hospital", "Escola", "Clínica")
+ORG_SUFFIXES = ("Ltda\\.?", "S\\.A\\.", "S/A", "Eireli", "ME", "EPP")
+
+# ---------------------------------------------------------------------------
+# Grammar compilation
+# ---------------------------------------------------------------------------
+
+_UC = "A-ZÁÂÃÀÉÊÍÓÔÕÚÜÇ"
+_LC = "a-záâãàéêíóôõúüç"
+# Capitalized word: uppercase initial + 1+ lowercase letters (hyphen/apostrophe ok)
+_CAP = rf"[{_UC}][{_LC}]+(?:[-'][{_UC}{_LC}][{_LC}]+)*"
+
+def _alts(words) -> str:
+    # Longest-first alternation so e.g. "coordenadora" beats "coordenador".
+    return "|".join(sorted((re.escape(w) if "\\" not in w else w for w in words),
+                           key=len, reverse=True))
+
+_ROLE = _alts(ROLE_WORDS)
+_SEN = _alts(SENIORITY_WORDS)
+_DOM = _alts(ROLE_DOMAIN_WORDS)
+_SINGLE = _alts(SINGLE_WORD_CARGOS)
+_CITY = _alts(CITIES)
+_STREET = "|".join(STREET_PREFIXES)
+_ORG_PRE = _alts(ORG_PREFIXES)
+_ORG_SUF = "|".join(ORG_SUFFIXES)
+_CONN = _alts(NAME_CONNECTIVES)
+
+# Each entry: (type, compiled pattern). Scanned in order; longest-match
+# conflicts are resolved by the overlap filter below, mirroring spaCy
+# EntityRuler's filter_spans longest-wins behaviour (ner_service.py:194-216).
+GRAMMARS: List[Tuple[str, re.Pattern]] = [
+    # CARGO: dev stack pattern must come before generic role pattern
+    ("CARGO", re.compile(
+        rf"\b(?:desenvolvedor|desenvolvedora|dev)"
+        rf"(?:\s+(?:full|back|front))?(?:\s+(?:stack|end))?"
+        rf"(?:\s+(?:{_SEN}))?\b", re.IGNORECASE)),
+    ("CARGO", re.compile(
+        rf"\b(?:{_ROLE})(?:\s+(?:de|em))?(?:\s+(?:{_DOM})){{1,2}}"
+        rf"(?:\s+(?:{_SEN}))?\b", re.IGNORECASE)),
+    ("CARGO", re.compile(rf"\b(?:{_ROLE})\s+(?:{_SEN})\b", re.IGNORECASE)),
+    ("CARGO", re.compile(rf"\b(?:{_SINGLE})\b", re.IGNORECASE)),
+    # NOME_COMPLETO: first-name-dictionary-anchored capitalized run — the
+    # first token is one of the known given names (capitalized form baked
+    # into the alternation so the scan can't be swallowed by a preceding
+    # capitalized non-name), then >=1 further capitalized tokens with
+    # optional connectives (da/de/dos/...) between them.
+    ("NOME_COMPLETO", re.compile(
+        r"\b(?:"
+        + "|".join(sorted({n[0].upper() + n[1:] for n in FIRST_NAMES},
+                          key=len, reverse=True))
+        + rf")(?:\s+(?:(?:{_CONN})\s+)?{_CAP})+")),
+    # ORGANIZACAO: keyword-prefixed or legal-suffix forms
+    ("ORGANIZACAO", re.compile(
+        rf"\b(?:{_ORG_PRE})(?:\s+{_CAP})+(?:\s+(?:{_ORG_SUF}))?")),
+    ("ORGANIZACAO", re.compile(
+        rf"\b{_CAP}(?:\s+{_CAP})*\s+(?:{_ORG_SUF})")),
+    # LOCAL: street grammar. The span deliberately EXCLUDES any trailing
+    # house number: the reference's digit noise guard (ner_service.py:122-127)
+    # rejects digit-containing entities, so including ", 123" would kill the
+    # whole detection; excluding it masks the street name and leaves the
+    # number — matching how the guard behaves on street-only spaCy spans.
+    ("LOCAL", re.compile(
+        rf"\b(?:{_STREET})(?:\s+(?:(?:{_CONN})\s+)?{_CAP})+")),
+    ("LOCAL", re.compile(rf"\bBairro(?:\s+{_CAP})+")),
+    ("LOCAL", re.compile(rf"\b(?:{_CITY})\b")),
+]
+
+_NAME_SUFFIXES = (" ii", " iii", " iv", " v", " jr", " sr", " filho", " neto")
+
+
+def _passes_noise_guards(text: str) -> bool:
+    """Reference noise-guard stack (ner_service.py:95-127), same order."""
+    t = text.strip()
+    if len(t) < 3:
+        return False
+    if t.isdigit():
+        return False
+    if t.lower() in FALSE_POSITIVES:
+        return False
+    if ":" in t:
+        return False
+    if "[" in t or "]" in t or "_" in t:
+        return False
+    if t.isupper() and len(t) > 4:
+        return False
+    if any(c.isdigit() for c in t):
+        tc = t.lower().strip()
+        if not any(tc.endswith(sfx) for sfx in _NAME_SUFFIXES):
+            return False
+    return True
+
+
+def find_entities(text: str) -> List[Dict[str, Any]]:
+    """All dictionary-NER candidates on raw text, longest-match filtered.
+
+    Returns dicts {type, value, start, end} with spans in the original text,
+    sorted by start.
+    """
+    candidates: List[Dict[str, Any]] = []
+    for ent_type, pattern in GRAMMARS:
+        for m in pattern.finditer(text):
+            value = m.group(0)
+            start, end = m.start(), m.end()
+            # trim trailing whitespace the grammar may have captured
+            stripped = value.rstrip()
+            end -= len(value) - len(stripped)
+            value = stripped
+            lead = len(value) - len(value.lstrip())
+            start += lead
+            value = value.lstrip()
+            if not value:
+                continue
+            if not _passes_noise_guards(value):
+                continue
+            candidates.append(
+                {"type": ent_type, "value": value, "start": start, "end": end}
+            )
+
+    # Longest-match overlap resolution (parity with ner_service.py:194-216):
+    # sort by (start, -length), greedily keep entities that begin at or after
+    # the end of the last kept one.
+    candidates.sort(key=lambda c: (c["start"], -(c["end"] - c["start"])))
+    kept: List[Dict[str, Any]] = []
+    frontier = -1
+    for cand in candidates:
+        if cand["start"] >= frontier:
+            kept.append(cand)
+            frontier = cand["end"]
+    return kept
