@@ -130,6 +130,13 @@ def detect_language(text: str) -> str:
     """Most likely language label, or "und" with no evidence."""
     if not text or not text.strip():
         return UND
+    # Script check first: CJK text has near-zero trigram overlap with any
+    # small seed profile, but the script itself is decisive evidence.
+    letters = [c for c in text if c.isalpha()]
+    if letters:
+        cjk = sum(1 for c in letters if "一" <= c <= "鿿")
+        if cjk / len(letters) > 0.30:
+            return "zh"
     grams = _trigrams(text)
     if not grams:
         return UND

@@ -1,0 +1,46 @@
+"""SparkSession factory with the engine's scale-oriented defaults."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pii_filter_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build a session with AQE + Arrow tuned for a binary-heavy table.
+
+    On a real cluster these land in spark-submit --conf; the defaults below
+    are the ones the pipeline depends on:
+      * AQE on (coalesce + skew-join split) — north rule "AQE-tuned shuffles";
+      * Arrow pandas-UDF transfer on, with a small maxRecordsPerBatch because
+        rows carry an image `bytes` column (MB-scale rows would otherwise
+        produce multi-GB Arrow batches at 10^12-image scale);
+      * shuffle partition count sized to the test machine; a cluster run
+        should set it to ~2-3x total executor cores.
+    """
+    master = master or os.environ.get("SPARK_MASTER", "local[*]")
+    cores = os.cpu_count() or 8
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cores))
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
