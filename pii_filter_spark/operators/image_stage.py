@@ -1,0 +1,119 @@
+"""Multimodal (image) column operators: verify, features, resize, sampling.
+
+The image `bytes` column is opaque binary with typed metadata (w, h, fmt).
+Decode-touching work runs in mapInPandas batches so each task streams
+Arrow record batches instead of materializing whole partitions (rows are
+MB-scale; session config caps maxRecordsPerBatch accordingly). Decoders:
+real PNG + deterministic lossy codec (images/); true JPEG/video paths are
+sandbox-stubbed (images/codecs.py raises NotImplementedError) while the
+Spark plumbing — schemas, batch iteration, column pruning — is real.
+
+verify_images is the per-row invariant stage (FIXTURES.md B3): decoded
+pixels must exist, match the (w, h) metadata, and PSNR vs a reference
+decode must clear 40 dB for lossy formats (infinite for lossless).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..images import decode_image, psnr
+from ..images.codecs import encode_image
+
+VERIFY_SCHEMA = (
+    "image_id string, decode_ok boolean, dims_ok boolean, "
+    "px_mean double, reencode_psnr double"
+)
+
+FEATURE_SCHEMA = (
+    "image_id string, mean_r double, mean_g double, mean_b double, "
+    "std_gray double, thumb array<int>"
+)
+
+
+def verify_images(df: DataFrame, thumb: int = 0) -> DataFrame:
+    """Decode every image; emit per-row verification facts.
+
+    reencode_psnr: decode → re-encode with the same codec → decode again,
+    PSNR between the two decodes. Lossless formats give +inf (reported as
+    NaN-safe large sentinel 999.0); lossy formats must stay >= 40 dB.
+    """
+
+    def _verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                ok = dims = False
+                mean = q = float("nan")
+                try:
+                    px = decode_image(bytes(rec.bytes))
+                    ok = True
+                    dims = px.shape[0] == rec.h and px.shape[1] == rec.w
+                    mean = float(px.mean())
+                    second = decode_image(encode_image(px, rec.fmt, quality=95))
+                    p = psnr(px, second)
+                    q = 999.0 if math.isinf(p) else p
+                except (ValueError, NotImplementedError):
+                    pass
+                rows.append((rec.image_id, ok, dims, mean, q))
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "decode_ok", "dims_ok", "px_mean", "reencode_psnr"],
+            )
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(
+        _verify, schema=VERIFY_SCHEMA
+    )
+
+
+def image_features(df: DataFrame, thumb_size: int = 8) -> DataFrame:
+    """Deterministic feature extraction: channel means, gray std, and a
+    nearest-neighbor thumbnail (flattened gray thumb_size x thumb_size).
+    This is the feature/resize plumbing a real CLIP/embedding stage would
+    occupy; the features themselves are deterministic stand-ins."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                try:
+                    px = decode_image(bytes(rec.bytes)).astype(np.float64)
+                except (ValueError, NotImplementedError):
+                    rows.append((rec.image_id, None, None, None, None, None))
+                    continue
+                gray = px.mean(axis=2)
+                h, w = gray.shape
+                yi = np.linspace(0, h - 1, thumb_size).round().astype(int)
+                xi = np.linspace(0, w - 1, thumb_size).round().astype(int)
+                tb = gray[np.ix_(yi, xi)].round().astype(int).ravel().tolist()
+                rows.append(
+                    (
+                        rec.image_id,
+                        float(px[:, :, 0].mean()),
+                        float(px[:, :, 1].mean()),
+                        float(px[:, :, 2].mean()),
+                        float(gray.std()),
+                        tb,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "mean_r", "mean_g", "mean_b", "std_gray", "thumb"],
+            )
+
+    return df.select("image_id", "bytes").mapInPandas(_feat, schema=FEATURE_SCHEMA)
+
+
+def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """SANDBOX STUB: no video codec exists in this container. The schema and
+    partitioning contract are defined; decode is not."""
+    raise NotImplementedError(
+        "video frame sampling requires a video decoder (absent in sandbox); "
+        "planned surface: mapInPandas (video_id, frame_idx, frame_bytes)"
+    )
