@@ -1,0 +1,314 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, each picked for its shuffle shape at 10^11-row scale:
+
+  * exact        — hash-groupBy on a normalized-text digest; min-id survivor
+                   via two-phase aggregation (skew-safe, map-side combines).
+  * by-key       — same survivor logic on an arbitrary key (e.g. phash);
+                   the synthetic phash is deliberately hot-keyed, so the
+                   min is computed per (key, salt) first, then per key —
+                   no single reducer ever sees a whole hot key.
+  * MinHash+LSH  — char-shingle minhash signatures (one pandas UDF),
+                   banded into buckets; candidate pairs only ever form
+                   WITHIN a bucket (groupBy band-hash, self-join inside),
+                   so the quadratic blowup is bounded by bucket size, then
+                   exact n-gram Jaccard verifies survivors.
+  * SimHash      — 64-bit token-hash simhash (pandas UDF), banded into
+                   4x16-bit chunks for candidate generation, hamming
+                   verification on candidates.
+  * n-gram Jaccard — the exact verifier, exposed standalone for
+                   small/verification workloads.
+
+Signature computation is numpy-vectorized inside Arrow batches; candidate
+generation and survivor selection are pure DataFrame ops Catalyst can
+reorder/push down.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+from typing import List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType
+
+_MERSENNE = (1 << 61) - 1
+_MAX_SHINGLE_HASH = (1 << 32) - 1
+
+
+def _normalize_expr(col):
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+# --------------------------------------------------------------------------
+# exact + by-key
+# --------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id row per normalized-text digest."""
+    keyed = df.withColumn("_dk", F.md5(_normalize_expr(F.col(text_col))))
+    return dedup_by_key(keyed, "_dk", id_col, salt_buckets=8).drop("_dk")
+
+
+def dedup_by_key(
+    df: DataFrame, key: str, id_col: str, salt_buckets: int = 16
+) -> DataFrame:
+    """Skew-safe min-id survivor per key: two-phase min + semi-join back.
+
+    Phase 1 groups on (key, salt(id)) so a hot key spreads over
+    salt_buckets reducers; phase 2 reduces salt partials (tiny). The
+    survivor set joins back as a semi-join on (key, id) — at scale this is
+    a shuffle join on the same key the groupBy used, which AQE can reuse.
+    """
+    salted = df.withColumn(
+        "_s", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy(key, "_s").agg(F.min(id_col).alias("_m"))
+    winners = partial.groupBy(key).agg(F.min("_m").alias(id_col))
+    return df.join(winners, on=[key, id_col], how="leftsemi")
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def _minhash_params(num_hashes: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def _char_shingles(text: str, k: int) -> np.ndarray:
+    # crc32, NOT builtin hash(): Python string hashing is salted per process
+    # (PYTHONHASHSEED), which would make signatures non-deterministic across
+    # executors/retries and break resume + test reproducibility.
+    t = " ".join(text.lower().split())
+    if len(t) < k:
+        t = t.ljust(k, "_")
+    views = {
+        zlib.crc32(t[i : i + k].encode("utf-8")) & _MAX_SHINGLE_HASH
+        for i in range(len(t) - k + 1)
+    }
+    return np.fromiter(views, dtype=np.int64, count=len(views))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, sig array<long>) — one vectorized pandas UDF, O(shingles x H) numpy."""
+    a, b = _minhash_params(num_hashes, seed)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _sig(texts: pd.Series) -> pd.Series:
+        out: List[List[int]] = []
+        for t in texts:
+            if not isinstance(t, str) or not t.strip():
+                out.append([0] * num_hashes)
+                continue
+            sh = _char_shingles(t, shingle_k)
+            # (H, S) permutation hashes -> row-wise min
+            hv = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
+            out.append(hv.min(axis=1).tolist())
+        return pd.Series(out)
+
+    return df.select(id_col, _sig(F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b, est_jaccard >= threshold).
+
+    Plan shape: sig UDF → explode bands → groupBy bucket (shuffle #1) →
+    intra-bucket pair expansion → distinct pairs → signature-agreement
+    estimate. No all-pairs join ever materializes.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
+
+    banded = sigs.select(
+        id_col,
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.xxhash64(
+                    F.slice("sig", bnd * rows_per_band + 1, rows_per_band).cast(
+                        "array<string>"
+                    ).cast("string"),
+                    bnd,
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    # intra-bucket pairs via self-join on (band, bucket); id_a < id_b kills dupes+self
+    lhs = banded.select(
+        F.col("band"), F.col("bucket"),
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
+    )
+    rhs = banded.select(
+        F.col("band"), F.col("bucket"),
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
+    )
+    pairs = (
+        lhs.join(rhs, on=["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = pairs.withColumn(
+        "est_jaccard",
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / F.lit(num_hashes),
+    )
+    return est.where(F.col("est_jaccard") >= threshold).select(
+        "id_a", "id_b", "est_jaccard"
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+
+
+def simhash_column(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, simhash long): 64-bit token-hash simhash, numpy bit-count."""
+
+    @F.pandas_udf(LongType())
+    def _sim(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if not isinstance(t, str) or not t.strip():
+                out.append(0)
+                continue
+            hs = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
+                        "little",
+                    )
+                    for tok in _TOKEN_RE.findall(t.lower())
+                ),
+                dtype=np.uint64,
+            )
+            if hs.size == 0:
+                out.append(0)
+                continue
+            bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+            vote = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            val = 0
+            for i in range(64):
+                if vote[i] > 0:
+                    val |= 1 << i
+            out.append(val - (1 << 64) if val >= (1 << 63) else val)
+        return pd.Series(out, dtype="int64")
+
+    return df.select(id_col, _sim(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by simhash: band 64 bits into 4x16-bit chunks (any pair
+    within hamming<=3 of 4 chunks must agree on >=1 chunk), candidate join
+    per chunk, exact hamming verify via bit_count(xor)."""
+    sims = simhash_column(df, text_col, id_col)
+    chunks = sims.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    lhs = chunks.select("chunk_idx", "chunk_val", F.col(id_col).alias("id_a"),
+                        F.col("simhash").alias("sh_a"))
+    rhs = chunks.select("chunk_idx", "chunk_val", F.col(id_col).alias("id_b"),
+                        F.col("simhash").alias("sh_b"))
+    return (
+        lhs.join(rhs, on=["chunk_idx", "chunk_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# exact n-gram Jaccard (verifier / small-scale)
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    pairs_df: DataFrame,
+    docs_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for given (id_a, id_b) candidate pairs."""
+    grams = docs_df.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.size(F.split(_normalize_expr(F.col(text_col)), " ")) - n,
+                        F.lit(0),
+                    ),
+                ),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.slice(F.split(_normalize_expr(F.col(text_col)), " "), i + 1, n),
+                ),
+            )
+        ).alias("grams"),
+    )
+    a = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
+    b = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
+    return (
+        pairs_df.join(a, "id_a").join(b, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("g_a", "g_b")))
+        .withColumn("uni", F.size(F.array_union("g_a", "g_b")))
+        .withColumn(
+            "jaccard",
+            F.when(F.col("uni") > 0, F.col("inter").cast("double") / F.col("uni"))
+            .otherwise(F.lit(0.0)),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )

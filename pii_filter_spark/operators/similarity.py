@@ -1,0 +1,124 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths over `embeddings(vec_id, embedding array<float>, label)`:
+
+  * brute-force cosine top-k — the exactness baseline. The dot product and
+    norms are NATIVE higher-order-function expressions (zip_with +
+    aggregate), so the scan stays in whole-stage codegen and the only
+    Python anywhere is the driver literal for the query vector. Top-k is
+    orderBy+limit, which Spark executes as per-partition TakeOrdered + a
+    tiny final merge — no global sort shuffle.
+
+  * LSH-bucketed (random hyperplane / SRP) — the scale path. A fixed-seed
+    plane matrix (one numpy matmul per Arrow batch inside a pandas UDF)
+    gives every row a signature; candidates are rows whose signature
+    agrees with the query's on >= (planes - max_flip) bits, checked with
+    bit_count(xor) natively — a full-scan-but-cheap filter here; at real
+    scale the signature becomes the table's partition/bucket key so the
+    probe prunes partitions instead of scanning.
+
+An IVF variant (k-means coarse quantizer) is the other classic scale path;
+SRP was chosen because it needs no training job and stays deterministic.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+
+def _dot_expr(vec_col, query: Sequence[float]):
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return F.aggregate(
+        F.zip_with(vec_col, q, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm_expr(vec_col):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k, fully JVM-side."""
+    qnorm = float(np.sqrt(np.dot(query, query)))
+    sim = _dot_expr(F.col(vec_col), query) / (_norm_expr(F.col(vec_col)) * F.lit(qnorm))
+    return (
+        df.select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def srp_signature_udf(dim: int, planes: int = 16, seed: int = 31):
+    """Signed-random-projection signature as a long (bit i = sign of proj i)."""
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((dim, planes))
+
+    @F.pandas_udf(LongType())
+    def _sig(vecs: pd.Series) -> pd.Series:
+        out = np.zeros(len(vecs), dtype=np.int64)
+        if len(vecs):
+            arr = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            bits = (arr @ mat) > 0
+            out = (bits.astype(np.int64) << np.arange(planes, dtype=np.int64)).sum(axis=1)
+        return pd.Series(out, dtype="int64")
+
+    return _sig
+
+
+def srp_query_signature(query: Sequence[float], planes: int = 16, seed: int = 31) -> int:
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((len(query), planes))
+    bits = (np.asarray(query, dtype=np.float64) @ mat) > 0
+    return int((bits.astype(np.int64) << np.arange(planes, dtype=np.int64)).sum())
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    planes: int = 16,
+    max_flip: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 31,
+) -> DataFrame:
+    """Approximate top-k: SRP bucket filter, exact cosine on survivors."""
+    dim = len(query)
+    sig_udf = srp_signature_udf(dim, planes, seed)
+    qsig = srp_query_signature(query, planes, seed)
+    qnorm = float(np.sqrt(np.dot(query, query)))
+    candidates = df.withColumn("_sig", sig_udf(F.col(vec_col))).where(
+        F.bit_count(F.col("_sig").bitwiseXOR(F.lit(qsig))) <= max_flip
+    )
+    sim = _dot_expr(F.col(vec_col), query) / (_norm_expr(F.col(vec_col)) * F.lit(qnorm))
+    return (
+        candidates.select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def embedding_norms(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    return df.select(F.col(id_col), _norm_expr(F.col(vec_col)).alias("l2_norm"))

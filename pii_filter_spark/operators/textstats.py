@@ -1,0 +1,77 @@
+"""Text-analysis operators over a document table (training-data pipeline).
+
+All-native where possible (token counts, quality score, fingerprints stay
+in codegen); langid is the one model-backed pandas UDF.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from ..core.langid import detect_language
+from .quality_stage import quality_signal_columns
+
+# "BPE-ish" tokenizer regex: word pieces OR single non-space symbols —
+# the standard pre-tokenization split used before byte-pair merging.
+BPE_TOKEN_RE = r"(?U)\w+|[^\w\s]"
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, ws_tokens, bpe_tokens, n_chars) — all native expressions."""
+    c = F.col(text_col)
+    trimmed = F.trim(c)
+    ws = F.when(
+        c.isNotNull() & (trimmed != ""), F.size(F.split(trimmed, r"\s+"))
+    ).otherwise(F.lit(0))
+    bpe = F.when(c.isNotNull(), F.regexp_count(c, F.lit(BPE_TOKEN_RE))).otherwise(0)
+    return df.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.length(F.coalesce(c, F.lit(""))).alias("n_chars"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Composite quality score in [0,1] from the shared signal expressions.
+
+    score = mean of 4 subscores: length band, alpha ratio, symbol cleanliness,
+    line diversity. Deterministic, all-native."""
+    s = quality_signal_columns(F.col(text_col))
+    length_ok = (
+        F.when(s["word_count"] >= 20, 1.0)
+        .when(s["word_count"] >= 5, 0.5)
+        .otherwise(0.0)
+    )
+    alpha = F.least(s["alpha_ratio"] / 0.9, F.lit(1.0))
+    symbols = F.greatest(F.lit(0.0), F.lit(1.0) - s["symbol_ratio"] * 5.0)
+    diversity = F.lit(1.0) - s["repeated_line_ratio"]
+    score = (length_ok + alpha + symbols + diversity) / 4.0
+    return df.select(
+        F.col(id_col), F.round(score, 6).alias("quality_score")
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprints: md5 digest of whitespace-normalized lowercase
+    text (exact-dup key) + a 64-bit xxhash (cheap join key)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))),
+                            r"\s+", " ")
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fingerprint_md5"),
+        F.xxhash64(norm).alias("fingerprint_64"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    @F.pandas_udf(StringType())
+    def _lang(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [detect_language(t) if isinstance(t, str) else "und" for t in texts]
+        )
+
+    return df.select(F.col(id_col), _lang(F.col(text_col)).alias("lang_detected"))

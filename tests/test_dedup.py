@@ -1,0 +1,86 @@
+"""Dedup operators: exact, by-key (skew-safe), MinHash-LSH, SimHash, Jaccard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """Plant exact duplicates (ids 10000+i copy of i) and near-duplicates
+    (ids 20000+i: doc i with one word appended)."""
+    base = docs.select("doc_id", "text").limit(50)
+    exact = base.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    near = base.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat("text", F.lit(" extra")).alias("text"),
+    )
+    return docs.select("doc_id", "text").union(exact).union(near)
+
+
+def test_dedup_exact(spark, docs_with_dups):
+    from pii_filter_spark.operators.dedup import dedup_exact
+
+    total = docs_with_dups.count()
+    out = dedup_exact(docs_with_dups)
+    assert out.count() == total - 50  # the 50 planted exact copies collapse
+    # survivor is the min doc_id of each group
+    assert out.where(F.col("doc_id") >= 10000).where(F.col("doc_id") < 20000).count() == 0
+
+
+def test_dedup_by_key_skew_safe(spark):
+    from pii_filter_spark.operators.dedup import dedup_by_key
+    from pii_filter_spark.sources.synth import gen_pandas
+
+    pdf = gen_pandas(300, seed=3)[["image_id", "phash"]]
+    df = spark.createDataFrame(pdf)
+    out = dedup_by_key(df, "phash", "image_id").toPandas()
+    exp = pdf.groupby("phash")["image_id"].min()
+    assert sorted(out.image_id) == sorted(exp.tolist())
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs_with_dups):
+    from pii_filter_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        docs_with_dups, threshold=0.6, num_hashes=64, bands=16
+    ).toPandas()
+    planted_exact = {(i, i + 10000) for i in range(50)}
+    planted_near = {(i, i + 20000) for i in range(50)}
+    got = {(int(a), int(b)) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert planted_exact <= got
+    assert len(planted_near & got) >= 45  # near-dups: high recall expected
+    # exact copies estimate jaccard ~1.0
+    exact_rows = pairs[(pairs.id_a < 10000) & (pairs.id_b - pairs.id_a == 10000)]
+    assert (exact_rows.est_jaccard >= 0.99).all()
+
+
+def test_simhash_near_pairs(spark, docs_with_dups):
+    from pii_filter_spark.operators.dedup import simhash_near_pairs
+
+    pairs = simhash_near_pairs(docs_with_dups, max_hamming=3).toPandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert {(i, i + 10000) for i in range(50)} <= got
+    exact = pairs[(pairs.id_a < 10000) & (pairs.id_b - pairs.id_a == 10000)]
+    assert (exact.hamming == 0).all()
+
+
+def test_ngram_jaccard_verifier(spark, docs_with_dups):
+    from pii_filter_spark.operators.dedup import ngram_jaccard_pairs
+
+    cand = spark.createDataFrame(
+        [(i, i + 10000) for i in range(10)] + [(0, 1)], ["id_a", "id_b"]
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(cand, docs_with_dups).collect()
+    }
+    for i in range(10):
+        assert out[(i, i + 10000)] == pytest.approx(1.0)
+    assert out[(0, 1)] < 0.9

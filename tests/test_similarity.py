@@ -1,0 +1,68 @@
+"""ANN operators: brute-force cosine baseline + SRP-LSH scale path."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.stack([np.array(r["embedding"], dtype=np.float64) for r in rows])
+    return ids, mat
+
+
+def _numpy_topk(ids, mat, query, k):
+    q = np.asarray(query, dtype=np.float64)
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -sims))[:k]
+    return [(int(ids[i]), float(sims[i])) for i in order]
+
+
+def test_bruteforce_matches_numpy(spark, emb, emb_np):
+    from pii_filter_spark.operators.similarity import cosine_topk_bruteforce
+
+    ids, mat = emb_np
+    query = mat[0].tolist()
+    got = cosine_topk_bruteforce(emb, query, k=10).collect()
+    exp = _numpy_topk(ids, mat, query, 10)
+    assert [r["vec_id"] for r in got] == [e[0] for e in exp]
+    for r, e in zip(got, exp):
+        assert r["cos_sim"] == pytest.approx(e[1], abs=1e-9)
+    # self-similarity tops the list
+    assert got[0]["vec_id"] == int(ids[0])
+    assert got[0]["cos_sim"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_lsh_recall_vs_bruteforce(spark, emb, emb_np):
+    from pii_filter_spark.operators.similarity import cosine_topk_lsh
+
+    ids, mat = emb_np
+    recalls = []
+    for qi in (0, 7, 42):
+        query = mat[qi].tolist()
+        exact = {e[0] for e in _numpy_topk(ids, mat, query, 10)}
+        approx = {
+            r["vec_id"]
+            for r in cosine_topk_lsh(emb, query, k=10, planes=16, max_flip=6).collect()
+        }
+        recalls.append(len(exact & approx) / 10)
+    assert sum(recalls) / len(recalls) >= 0.5  # ANN: useful recall, not exact
+
+
+def test_embedding_norms(spark, emb, emb_np):
+    from pii_filter_spark.operators.similarity import embedding_norms
+
+    ids, mat = emb_np
+    got = {r["vec_id"]: r["l2_norm"] for r in embedding_norms(emb).collect()}
+    exp = np.linalg.norm(mat, axis=1)
+    for i, vid in enumerate(ids):
+        assert got[int(vid)] == pytest.approx(float(exp[i]), rel=1e-9)

@@ -1,0 +1,56 @@
+"""Text-analysis operators over the documents table."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_token_counts_match_python(spark, docs):
+    from pii_filter_spark.operators.textstats import BPE_TOKEN_RE, token_counts
+
+    got = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    pyre = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+    for r in docs.select("doc_id", "text").limit(100).collect():
+        t = r["text"] or ""
+        g = got[r["doc_id"]]
+        assert g["ws_tokens"] == len(t.split())
+        assert g["bpe_tokens"] == len(pyre.findall(t))
+        assert g["n_chars"] == len(t)
+
+
+def test_quality_scores_range_and_determinism(spark, docs):
+    from pii_filter_spark.operators.textstats import quality_scores
+
+    a = quality_scores(docs).toPandas().set_index("doc_id").quality_score
+    b = quality_scores(docs).toPandas().set_index("doc_id").quality_score
+    assert ((a >= 0) & (a <= 1)).all()
+    assert (a == b).all()
+
+
+def test_fingerprints_collapse_whitespace_case(spark):
+    from pii_filter_spark.operators.textstats import fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different text")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in fingerprints(df).collect()}
+    assert rows[1]["fingerprint_md5"] == rows[2]["fingerprint_md5"]
+    assert rows[1]["fingerprint_64"] == rows[2]["fingerprint_64"]
+    assert rows[1]["fingerprint_md5"] != rows[3]["fingerprint_md5"]
+
+
+def test_language_id_over_documents(spark, docs):
+    from pii_filter_spark.operators.textstats import language_id
+
+    out = language_id(docs).collect()
+    assert len(out) == docs.count()
+    assert all(r["lang_detected"] is not None for r in out)
