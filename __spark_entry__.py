@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: PII/toxicity scrub + quality filter over the
+                 sf0.001 documents table with deterministic PII clauses
+                 appended (the engine's core semantics end-to-end).
+queries()      — one callable per operator family from SURVEY.md §2 plus
+                 the north-rule/training-data additions.
+oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible query;
+                 model-backed ops (langid, perplexity, minhash, simhash,
+                 SRP-LSH) are intentionally absent → rows-only check.
 """
 
 from __future__ import annotations
@@ -12,27 +15,436 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# Deterministic PII clause appended to each document's text, keyed on
+# doc_id % 5. Clause 4 embeds an all-same-digit CPF which the plausibility
+# validator must REFUSE to mask (reference validators.py:21-26).
+_PII_CLAUSES = [
+    " Contato: CPF 123.456.789-01.",
+    " Email: joao.silva@empresa.com.br.",
+    " Telefone (11) 98765-4321 registrado.",
+    " CEP 01310-100 conferido.",
+    " CPF 111.111.111-11 de exemplo.",
+]
+_SCRUBBED_CLAUSES = [
+    " Contato: CPF [CPF_1].",
+    " Email: [EMAIL_1].",
+    " Telefone [TELEFONE_1] registrado.",
+    " CEP [CEP_1] conferido.",
+    " CPF 111.111.111-11 de exemplo.",  # implausible -> untouched
+]
+_CLAUSE_TYPES = ["CPF", "EMAIL", "TELEFONE", "CEP", None]
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text + deterministic PII clause as the caption column."""
+    clause = F.element_at(
+        F.array(*[F.lit(c) for c in _PII_CLAUSES]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.col("text"), clause).alias("caption")
+    )
+
+
+def _sql_case_clause(col: str, values: list, quote: bool = True) -> str:
+    parts = [f"CASE CAST({col} % 5 AS INT)"]
+    for i, v in enumerate(values):
+        lit = "NULL" if v is None else (f"'{v}'" if quote else str(v))
+        parts.append(f"WHEN {i} THEN {lit}")
+    parts.append("END")
+    return " ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_pii_scrub_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_filter_spark.operators.scrub import scrub_stage
+
+    return scrub_stage(_captions(spark, sf_dir)).select(
+        "doc_id",
+        F.col("scrubbed_caption").alias("scrubbed"),
+        F.col("scrub_count").cast("int").alias("n_masked"),
+    )
+
+
+def q_pii_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_filter_spark.operators.scrub import scrub_stage
+
+    return (
+        scrub_stage(_captions(spark, sf_dir))
+        .select(F.explode("pii_masked").alias("m"))
+        .groupBy(F.col("m.type").alias("pii_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_doc_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = F.col("text")
+    toks = F.split(F.trim(c), r"\s+")
+    wc = F.size(toks)
+    mean_len = F.round(
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / wc, 4
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id", wc.alias("word_count"), mean_len.alias("mean_word_len")
+    )
+
+
+def q_quality_filter_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher SQL-expressible rule subset: keep decision per doc."""
+    c = F.col("text")
+    toks = F.split(F.trim(c), r"\s+")
+    wc = F.size(toks)
+    mean_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / wc
+    hashes = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    keep = (
+        (wc >= 3) & (wc <= 256)
+        & (mean_len >= 2.0) & (mean_len <= 14.0)
+        & ~F.contains(F.lower(c), F.lit("lorem ipsum"))
+        & ~F.contains(c, F.lit("{"))
+        & (hashes.cast("double") / wc <= 0.1)
+    )
+    return _docs(spark, sf_dir).select("doc_id", keep.alias("keep"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_filter_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir)).select("doc_id")
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_filter_spark.operators.textstats import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir)).select("doc_id", "fingerprint_md5")
+
+
+def q_token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_filter_spark.operators.textstats import token_counts
+
+    tc = token_counts(_docs(spark, sf_dir))
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    return (
+        tc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_filter_spark.operators.similarity import cosine_topk_bruteforce
+
+    query = (
+        _emb(spark, sf_dir).where(F.col("vec_id") == 0).select("embedding").first()[0]
+    )
+    out = cosine_topk_bruteforce(_emb(spark, sf_dir), [float(x) for x in query], k=10)
+    return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_filter_spark.operators.similarity import embedding_norms
+
+    return embedding_norms(_emb(spark, sf_dir)).select(
+        "vec_id", F.round("l2_norm", 4).alias("l2_norm")
+    )
+
+
+def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metrics-rollup relational shape (SURVEY §2.6): groupBy + sums."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_golden_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-label join shape: big fact ⋈ broadcast small dim."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    dim = F.broadcast(
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("c_custkey", "n_name")
+    )
+    return (
+        orders.join(dim, orders.o_custkey == dim.c_custkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
+
+
+def q_dedup_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First order per customer (the phash-dedup window shape)."""
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey")
+    )
+
+
+def q_resume_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resume shape: input anti-join completed-partition set."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    done = orders.where(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    return (
+        orders.join(done, "o_orderkey", "left_anti")
+        .agg(F.count(F.lit(1)).alias("remaining"),
+             F.sum("o_orderkey").alias("key_sum"))
+    )
+
+
+def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+# --- model-backed ops (no SQL oracle -> rows-only driver check) -------------
+
+def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_filter_spark.operators.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_filter_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(_docs(spark, sf_dir), num_hashes=32)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_filter_spark.operators.dedup import simhash_column
+
+    return simhash_column(_docs(spark, sf_dir))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_filter_spark.operators.similarity import cosine_topk_lsh
+
+    query = (
+        _emb(spark, sf_dir).where(F.col("vec_id") == 0).select("embedding").first()[0]
+    )
+    out = cosine_topk_lsh(
+        _emb(spark, sf_dir), [float(x) for x in query], k=10, max_flip=6
+    )
+    return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def q_quality_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full quality stage incl. langid+perplexity UDF (model-backed)."""
+    from pii_filter_spark.operators.quality_stage import quality_stage
+
+    return quality_stage(_captions(spark, sf_dir)).select(
+        "doc_id", "keep", F.col("lang").alias("lang_detected"),
+        F.round("ppl", 4).alias("ppl"),
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: scrub + quality over sf0.001 captions."""
+    from pii_filter_spark.operators.quality_stage import quality_stage
+    from pii_filter_spark.operators.scrub import scrub_stage
+
+    df = scrub_stage(quality_stage(_captions(spark, SF_DEFAULT)))
+    return df.select(
+        "doc_id", "keep", "drop_reasons", "scrubbed_caption", "scrub_count", "lang"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pii_scrub_captions": q_pii_scrub_captions,
+        "pii_type_counts": q_pii_type_counts,
+        "doc_word_stats": q_doc_word_stats,
+        "quality_filter_heuristic": q_quality_filter_heuristic,
+        "dedup_exact": q_dedup_exact,
+        "fingerprints": q_fingerprints,
+        "token_counts_by_source": q_token_counts_by_source,
+        "lang_distribution": q_lang_distribution,
+        "ann_bruteforce": q_ann_bruteforce,
+        "embedding_norms": q_embedding_norms,
+        "metrics_rollup": q_metrics_rollup,
+        "golden_broadcast_join": q_golden_broadcast_join,
+        "dedup_window": q_dedup_window,
+        "resume_antijoin": q_resume_antijoin,
+        "events_by_type": q_events_by_type,
+        "langid_documents": q_langid_documents,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "ann_lsh": q_ann_lsh,
+        "quality_full": q_quality_full,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    scrub_case = _sql_case_clause("doc_id", _SCRUBBED_CLAUSES)
+    type_case = _sql_case_clause("doc_id", _CLAUSE_TYPES)
+    return {
+        "pii_scrub_captions": f"""
+            SELECT doc_id,
+                   text || {scrub_case} AS scrubbed,
+                   CAST(CASE WHEN CAST(doc_id % 5 AS INT) = 4 THEN 0 ELSE 1 END AS INT)
+                       AS n_masked
+            FROM documents
+        """,
+        "pii_type_counts": f"""
+            SELECT pii_type, COUNT(*) AS cnt
+            FROM (SELECT {type_case} AS pii_type FROM documents)
+            WHERE pii_type IS NOT NULL
+            GROUP BY pii_type
+        """,
+        "doc_word_stats": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS word_count,
+                   round(
+                     CAST(list_sum(list_transform(
+                          regexp_split_to_array(trim(text), '\s+'),
+                          t -> len(t))) AS DOUBLE)
+                     / len(regexp_split_to_array(trim(text), '\s+')), 4
+                   ) AS mean_word_len
+            FROM documents
+        """,
+        "quality_filter_heuristic": r"""
+            SELECT doc_id,
+              (wc >= 3 AND wc <= 256
+               AND ml >= 2.0 AND ml <= 14.0
+               AND NOT contains(lower(text), 'lorem ipsum')
+               AND NOT contains(text, '{')
+               AND CAST(hashes AS DOUBLE) / wc <= 0.1) AS keep
+            FROM (
+              SELECT doc_id, text,
+                     len(regexp_split_to_array(trim(text), '\s+')) AS wc,
+                     CAST(list_sum(list_transform(
+                          regexp_split_to_array(trim(text), '\s+'),
+                          t -> len(t))) AS DOUBLE)
+                       / len(regexp_split_to_array(trim(text), '\s+')) AS ml,
+                     len(text) - len(replace(text, '#', '')) AS hashes
+              FROM documents
+            )
+        """,
+        "dedup_exact": r"""
+            SELECT min(doc_id) AS doc_id
+            FROM documents
+            GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        """,
+        "fingerprints": r"""
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(coalesce(text, ''))), '\s+', ' ', 'g'))
+                       AS fingerprint_md5
+            FROM documents
+        """,
+        "token_counts_by_source": r"""
+            SELECT source,
+                   SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS total_ws_tokens,
+                   SUM(len(text)) AS total_chars
+            FROM documents
+            GROUP BY source
+        """,
+        "lang_distribution": "SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang",
+        "ann_bruteforce": """
+            WITH q AS (
+              SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+              FROM embeddings WHERE vec_id = 0
+            ), scored AS (
+              SELECT e.vec_id,
+                     round(
+                       list_sum(list_transform(
+                         list_zip(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv),
+                         p -> p[1] * p[2]))
+                       / (sqrt(list_sum(list_transform(e.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 4
+                     ) AS cos_sim
+              FROM embeddings e, q
+            )
+            SELECT vec_id, cos_sim FROM scored
+            ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+                   round(sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+            FROM embeddings
+        """,
+        "metrics_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   round(SUM(l_quantity), 4) AS sum_qty,
+                   round(SUM(l_extendedprice), 4) AS sum_price,
+                   round(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "golden_broadcast_join": """
+            SELECT n.n_name, COUNT(*) AS order_cnt,
+                   round(SUM(o.o_totalprice), 4) AS total_price
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        """,
+        "dedup_window": """
+            SELECT o_custkey, o_orderkey FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS rn
+              FROM orders
+            ) WHERE rn = 1
+        """,
+        "resume_antijoin": """
+            SELECT COUNT(*) AS remaining, SUM(o_orderkey) AS key_sum
+            FROM orders
+            WHERE o_orderkey NOT IN (
+              SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0
+            )
+        """,
+        "events_by_type": """
+            SELECT event_type, COUNT(*) AS cnt, round(SUM(value), 4) AS total_value
+            FROM events
+            GROUP BY event_type
+        """,
+        # langid_documents, minhash_signatures, simhash, ann_lsh, quality_full:
+        # model-backed / non-SQL-expressible -> rows-only driver check.
+    }
