@@ -48,13 +48,22 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _captions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.text + deterministic PII clause as the caption column."""
+    """documents.text + deterministic PII clause as the caption column.
+
+    Repartitioned before the pandas-UDF stages: the sf test tables are
+    single parquet files, which would otherwise serialize the whole UDF
+    through one task. Shuffling the 2-column text projection is cheap and
+    buys full-core parallelism (at production scale the scan itself yields
+    many splits and this becomes a no-op via AQE coalesce).
+    """
     clause = F.element_at(
         F.array(*[F.lit(c) for c in _PII_CLAUSES]),
         (F.col("doc_id") % 5 + 1).cast("int"),
     )
-    return _docs(spark, sf_dir).select(
-        "doc_id", F.concat(F.col("text"), clause).alias("caption")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.concat(F.col("text"), clause).alias("caption"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
 
 
@@ -105,20 +114,37 @@ def q_doc_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_filter_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4/Gopher SQL-expressible rule subset: keep decision per doc."""
+    """C4/Gopher SQL-expressible rule subset: keep decision per doc.
+
+    Staged selects materialize the token split / counts once per row
+    instead of re-evaluating the split inside every rule predicate.
+    """
     c = F.col("text")
-    toks = F.split(F.trim(c), r"\s+")
-    wc = F.size(toks)
-    mean_len = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / wc
-    hashes = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    staged = (
+        _docs(spark, sf_dir)
+        .select("doc_id", c, F.split(F.trim(c), r"\s+").alias("toks"))
+        .select(
+            "doc_id",
+            c,
+            F.size("toks").alias("wc"),
+            F.aggregate("toks", F.lit(0), lambda a, t: a + F.length(t))
+            .cast("double")
+            .alias("tok_chars"),
+            (F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))).alias(
+                "hashes"
+            ),
+        )
+    )
+    wc = F.col("wc")
+    mean_len = F.col("tok_chars") / wc
     keep = (
         (wc >= 3) & (wc <= 256)
         & (mean_len >= 2.0) & (mean_len <= 14.0)
         & ~F.contains(F.lower(c), F.lit("lorem ipsum"))
         & ~F.contains(c, F.lit("{"))
-        & (hashes.cast("double") / wc <= 0.1)
+        & (F.col("hashes").cast("double") / wc <= 0.1)
     )
-    return _docs(spark, sf_dir).select("doc_id", keep.alias("keep"))
+    return staged.select("doc_id", keep.alias("keep"))
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,24 +263,137 @@ def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub → restore must be identity (reference R1+R3 inverse stage)."""
+    from pii_filter_spark.operators.restore_stage import restore_stage
+    from pii_filter_spark.operators.scrub import scrub_stage
+
+    return restore_stage(scrub_stage(_captions(spark, sf_dir))).select(
+        "doc_id", "restored_caption", "restore_ok"
+    )
+
+
+def q_scrub_golden_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference M1+M2: greedy span-overlap TP/FP/FN vs a golden label set,
+    rolled up to one (tp, fp, fn, precision, recall, f1) row."""
+    from pii_filter_spark.operators.evaluation import global_f1, span_f1_counts
+    from pii_filter_spark.operators.scrub import scrub_stage
+
+    det = (
+        scrub_stage(_captions(spark, sf_dir))
+        .select("doc_id", F.explode("pii_masked").alias("m"))
+        .select(
+            "doc_id",
+            F.col("m.type").alias("type"),
+            F.col("m.span_start").alias("span_start"),
+            F.col("m.span_end").alias("span_end"),
+        )
+    )
+    clause_type = F.element_at(
+        F.array(*[F.lit(t) for t in _CLAUSE_TYPES]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    clause_len = F.element_at(
+        F.array(*[F.lit(len(c)) for c in _PII_CLAUSES]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    golden = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            clause_type.alias("type"),
+            F.length("text").alias("span_start"),
+            (F.length("text") + clause_len).alias("span_end"),
+        )
+        .where(F.col("type").isNotNull())
+    )
+    return global_f1(span_f1_counts(det, golden))
+
+
+def q_skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over the skewed event_type keys."""
+    from pii_filter_spark.operators.skew import salted_count_by_key
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return salted_count_by_key(ev, "event_type", id_col="event_id")
+
+
 # --- model-backed ops (no SQL oracle -> rows-only driver check) -------------
+
+
+def q_image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/dims/PSNR invariants over a deterministic synthetic image
+    table (input_hint shape; images aren't part of the driver testdata)."""
+    from pii_filter_spark.operators.image_stage import verify_images
+    from pii_filter_spark.sources.synth import build_input_table
+
+    imgs = build_input_table(spark, 300, seed=42, num_partitions=8)
+    return verify_images(imgs).select(
+        "image_id", "decode_ok", "dims_ok",
+        F.round("px_mean", 2).alias("px_mean"),
+        (F.col("reencode_psnr") >= 40.0).alias("psnr_ok"),
+    )
+
+
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_filter_spark.operators.image_stage import image_features
+    from pii_filter_spark.sources.synth import build_input_table
+
+    imgs = build_input_table(spark, 200, seed=42, num_partitions=8)
+    return image_features(imgs).select(
+        "image_id",
+        F.round("mean_r", 2).alias("mean_r"),
+        F.round("mean_g", 2).alias("mean_g"),
+        F.round("std_gray", 2).alias("std_gray"),
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup discovery over documents ∪ perturbed copies of them."""
+    from pii_filter_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra trailing tokens here")).alias("text"),
+    ).where(F.col("doc_id") % 7 == 0)
+    return (
+        minhash_lsh_pairs(docs.unionByName(copies), threshold=0.5)
+        .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+    )
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_filter_spark.operators.dedup import simhash_near_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    ).where(F.col("doc_id") % 11 == 0)
+    return simhash_near_pairs(docs.unionByName(copies), max_hamming=6)
+
+def _par(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Spread single-file test scans across cores before UDF stages."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
 
 def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pii_filter_spark.operators.textstats import language_id
 
-    return language_id(_docs(spark, sf_dir))
+    return language_id(_par(spark, _docs(spark, sf_dir)))
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pii_filter_spark.operators.dedup import minhash_signatures
 
-    return minhash_signatures(_docs(spark, sf_dir), num_hashes=32)
+    return minhash_signatures(_par(spark, _docs(spark, sf_dir)), num_hashes=32)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pii_filter_spark.operators.dedup import simhash_column
 
-    return simhash_column(_docs(spark, sf_dir))
+    return simhash_column(_par(spark, _docs(spark, sf_dir)))
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,6 +449,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_window": q_dedup_window,
         "resume_antijoin": q_resume_antijoin,
         "events_by_type": q_events_by_type,
+        "restore_roundtrip": q_restore_roundtrip,
+        "scrub_golden_f1": q_scrub_golden_f1,
+        "skew_salted_counts": q_skew_salted_counts,
+        "image_verify": q_image_verify,
+        "image_features": q_image_features,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_near_pairs": q_simhash_near_pairs,
         "langid_documents": q_langid_documents,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -321,6 +467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     scrub_case = _sql_case_clause("doc_id", _SCRUBBED_CLAUSES)
     type_case = _sql_case_clause("doc_id", _CLAUSE_TYPES)
+    # restore(scrub(x)) == x: the restored caption is the ORIGINAL clause
+    scrub_restored_case = _sql_case_clause("doc_id", _PII_CLAUSES)
     return {
         "pii_scrub_captions": f"""
             SELECT doc_id,
@@ -445,6 +593,23 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type
         """,
-        # langid_documents, minhash_signatures, simhash, ann_lsh, quality_full:
-        # model-backed / non-SQL-expressible -> rows-only driver check.
+        "restore_roundtrip": f"""
+            SELECT doc_id,
+                   text || {scrub_restored_case} AS restored_caption,
+                   TRUE AS restore_ok
+            FROM documents
+        """,
+        "scrub_golden_f1": """
+            SELECT n AS tp, CAST(0 AS BIGINT) AS fp, CAST(0 AS BIGINT) AS fn,
+                   CAST(1.0 AS DOUBLE) AS precision, CAST(1.0 AS DOUBLE) AS recall,
+                   CAST(1.0 AS DOUBLE) AS f1
+            FROM (SELECT COUNT(*) AS n FROM documents
+                  WHERE CAST(doc_id % 5 AS INT) <> 4)
+        """,
+        "skew_salted_counts": """
+            SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+        """,
+        # Rows-only (model-backed / non-SQL-expressible): langid_documents,
+        # minhash_signatures, simhash, ann_lsh, quality_full, image_verify,
+        # image_features, minhash_lsh_pairs, simhash_near_pairs.
     }

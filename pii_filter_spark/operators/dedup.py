@@ -137,16 +137,19 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b, est_jaccard >= threshold).
 
-    Plan shape: sig UDF → explode bands → groupBy bucket (shuffle #1) →
-    intra-bucket pair expansion → distinct pairs → signature-agreement
-    estimate. No all-pairs join ever materializes.
+    Plan shape: sig UDF (evaluated ONCE) → explode bands → groupBy
+    (band, bucket) collect_list (one shuffle, map-side combined) →
+    in-array pair expansion via nested transform (no self-join, so the
+    signature UDF isn't re-evaluated per join side) → distinct pairs →
+    signature-agreement estimate. No all-pairs join ever materializes;
+    a pathological bucket (all-identical docs) is the only quadratic
+    spot, which is inherent to LSH.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
 
     banded = sigs.select(
-        id_col,
-        "sig",
+        F.struct(F.col(id_col).alias("id"), F.col("sig")).alias("m"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -159,34 +162,49 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    # intra-bucket pairs via self-join on (band, bucket); id_a < id_b kills dupes+self
-    lhs = banded.select(
-        F.col("band"), F.col("bucket"),
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
+    members = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("m").alias("ms"))
+        .where(F.size("ms") > 1)
     )
-    rhs = banded.select(
-        F.col("band"), F.col("bucket"),
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
-    )
-    pairs = (
-        lhs.join(rhs, on=["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    est = pairs.withColumn(
-        "est_jaccard",
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                lambda v: v == 1,
+    # All i<j combinations inside the bucket, order-normalized by id, with
+    # the signature-agreement estimate computed IN the expansion — pairs
+    # below threshold die before the distinct shuffle, and no signature
+    # arrays ever leave the bucket task.
+    def _est(x, y):
+        return (
+            F.size(
+                F.filter(
+                    F.zip_with(x["sig"], y["sig"], lambda a, b: (a == b).cast("int")),
+                    lambda v: v == 1,
+                )
+            ).cast("double")
+            / F.lit(num_hashes)
+        )
+
+    combos = members.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ms",
+                    lambda x, i: F.filter(
+                        F.transform(
+                            F.slice("ms", i + 2, F.size("ms")),
+                            lambda y: F.struct(
+                                F.when(x["id"] < y["id"], x["id"])
+                                .otherwise(y["id"]).alias("id_a"),
+                                F.when(x["id"] < y["id"], y["id"])
+                                .otherwise(x["id"]).alias("id_b"),
+                                _est(x, y).alias("est_jaccard"),
+                            ),
+                        ),
+                        lambda p: p["est_jaccard"] >= threshold,
+                    ),
+                )
             )
-        ).cast("double")
-        / F.lit(num_hashes),
-    )
-    return est.where(F.col("est_jaccard") >= threshold).select(
-        "id_a", "id_b", "est_jaccard"
-    )
+        ).alias("p")
+    ).select("p.*")
+    return combos.dropDuplicates(["id_a", "id_b"])
 
 
 # --------------------------------------------------------------------------
@@ -240,12 +258,12 @@ def simhash_near_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs by simhash: band 64 bits into 4x16-bit chunks (any pair
-    within hamming<=3 of 4 chunks must agree on >=1 chunk), candidate join
-    per chunk, exact hamming verify via bit_count(xor)."""
+    within hamming<=3 of 4 chunks must agree on >=1 chunk), bucket by
+    chunk value, in-array pair expansion (single simhash evaluation, no
+    self-join), exact hamming verify via bit_count(xor)."""
     sims = simhash_column(df, text_col, id_col)
     chunks = sims.select(
-        id_col,
-        "simhash",
+        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")).alias("m"),
         F.posexplode(
             F.array(
                 *[
@@ -255,17 +273,38 @@ def simhash_near_pairs(
             )
         ).alias("chunk_idx", "chunk_val"),
     )
-    lhs = chunks.select("chunk_idx", "chunk_val", F.col(id_col).alias("id_a"),
-                        F.col("simhash").alias("sh_a"))
-    rhs = chunks.select("chunk_idx", "chunk_val", F.col(id_col).alias("id_b"),
-                        F.col("simhash").alias("sh_b"))
+    members = (
+        chunks.groupBy("chunk_idx", "chunk_val")
+        .agg(F.collect_list("m").alias("ms"))
+        .where(F.size("ms") > 1)
+    )
     return (
-        lhs.join(rhs, on=["chunk_idx", "chunk_val"])
-        .where(F.col("id_a") < F.col("id_b"))
+        members.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ms",
+                        lambda x, i: F.filter(
+                            F.transform(
+                                F.slice("ms", i + 2, F.size("ms")),
+                                lambda y: F.struct(
+                                    F.when(x["id"] < y["id"], x["id"])
+                                    .otherwise(y["id"]).alias("id_a"),
+                                    F.when(x["id"] < y["id"], y["id"])
+                                    .otherwise(x["id"]).alias("id_b"),
+                                    F.bit_count(
+                                        x["sh"].bitwiseXOR(y["sh"])
+                                    ).alias("hamming"),
+                                ),
+                            ),
+                            lambda p: p["hamming"] <= max_hamming,
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.*")
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
 
 

@@ -1,0 +1,116 @@
+"""Span-overlap F1 evaluation (reference M1/M2 semantics, distributed).
+
+Mirrors /root/reference/tests/utils/test_utils.py:59-145: greedy 1:1
+matching of detections vs ground truth — a detection matches a golden span
+iff types are equal AND spans overlap (a.start < b.end and a.end > b.start,
+reference _spans_overlap :23-29); each golden span consumes at most one
+detection. TP/FP/FN accumulate per document; precision/recall/F1 use the
+zero-division-guarded formulas of calculate_final_metrics (:114-145).
+
+Distribution shape: matching is local to one document. Both sides
+aggregate to per-id span arrays (collect_list — map-side combined), full
+outer join on id, then ONE vectorized pandas UDF matches whole Arrow
+batches of (det_array, gold_array) rows. This deliberately avoids
+per-key applyInPandas/cogroup: with millions of tiny groups the per-group
+pandas construction dominates (measured ~10× slower at 5k groups). The
+final P/R/F1 is a single global aggregate.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def greedy_span_match(
+    detected: Iterable[Tuple[str, int, int]],
+    golden: Iterable[Tuple[str, int, int]],
+) -> Tuple[int, int, int]:
+    """Pure-python greedy matcher → (tp, fp, fn). Order-faithful to the
+    reference: iterate golden, take the first unconsumed overlapping
+    detection of the same type."""
+    det: List[Tuple[str, int, int]] = list(detected)
+    tp = 0
+    fn = 0
+    for g_type, g_start, g_end in golden:
+        hit = None
+        for i, (d_type, d_start, d_end) in enumerate(det):
+            if d_type == g_type and d_start < g_end and d_end > g_start:
+                hit = i
+                break
+        if hit is None:
+            fn += 1
+        else:
+            tp += 1
+            det.pop(hit)
+    return tp, len(det), fn
+
+
+def span_f1_counts(
+    detections: DataFrame,
+    golden: DataFrame,
+    id_col: str = "doc_id",
+    type_col: str = "type",
+    start_col: str = "span_start",
+    end_col: str = "span_end",
+) -> DataFrame:
+    """Per-id (tp, fp, fn): collect_list both sides → outer join → one
+    vectorized matcher UDF over array columns."""
+    span = lambda df: F.struct(  # noqa: E731
+        F.col(type_col).alias("t"),
+        F.col(start_col).cast("long").alias("s"),
+        F.col(end_col).cast("long").alias("e"),
+    )
+    det = detections.groupBy(F.col(id_col).alias("_id")).agg(
+        F.collect_list(span(detections)).alias("_det")
+    )
+    gold = golden.groupBy(F.col(id_col).alias("_id")).agg(
+        F.collect_list(span(golden)).alias("_gold")
+    )
+
+    @pandas_udf("struct<tp: long, fp: long, fn: long>")
+    def _match(dets: pd.Series, golds: pd.Series) -> pd.DataFrame:
+        tps, fps, fns = [], [], []
+        for d, g in zip(dets, golds):
+            tp, fp, fn = greedy_span_match(
+                [(m["t"], m["s"], m["e"]) for m in (d if d is not None else [])],
+                [(m["t"], m["s"], m["e"]) for m in (g if g is not None else [])],
+            )
+            tps.append(tp)
+            fps.append(fp)
+            fns.append(fn)
+        return pd.DataFrame({"tp": tps, "fp": fps, "fn": fns})
+
+    return (
+        det.join(gold, "_id", "full_outer")
+        .withColumn("_m", _match(F.col("_det"), F.col("_gold")))
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_m.tp").alias("tp"),
+            F.col("_m.fp").alias("fp"),
+            F.col("_m.fn").alias("fn"),
+        )
+    )
+
+
+def global_f1(counts: DataFrame) -> DataFrame:
+    """One-row (tp, fp, fn, precision, recall, f1) with zero-div guards
+    (reference calculate_final_metrics semantics)."""
+    agg = counts.agg(
+        F.sum("tp").alias("tp"), F.sum("fp").alias("fp"), F.sum("fn").alias("fn")
+    )
+    prec = F.when(F.col("tp") + F.col("fp") > 0,
+                  F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(F.lit(0.0))
+    rec = F.when(F.col("tp") + F.col("fn") > 0,
+                 F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(F.lit(0.0))
+    out = agg.withColumn("precision", prec).withColumn("recall", rec)
+    f1 = F.when(
+        F.col("precision") + F.col("recall") > 0,
+        2 * F.col("precision") * F.col("recall")
+        / (F.col("precision") + F.col("recall")),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("f1", f1)

@@ -108,19 +108,10 @@ def quality_signal_columns(caption: Column) -> dict[str, Column]:
     }
 
 
-def quality_stage(
-    df: DataFrame, caption_col: str = "caption", keep_signals: bool = False
-) -> DataFrame:
-    """Adds lang, ppl, drop_reasons (ordered array<string>) and keep."""
-    caption = F.col(caption_col)
+def drop_reason_rules(caption: Column, lang: Column, ppl: Column) -> list[Column]:
+    """One WHEN per rule, in frozen core.quality.RULE_ORDER order."""
     s = quality_signal_columns(caption)
     ne = s["nonempty"]
-
-    df = df.withColumn("_lp", lang_ppl_udf(caption))
-    lang = F.col("_lp.lang")
-    ppl = F.col("_lp.ppl")
-
-    # one WHEN per rule, in frozen RULE_ORDER; nulls compacted away
     rules = [
         F.when(~ne, F.lit("empty")),
         F.when(ne & (s["word_count"] < Q.MIN_WORDS), F.lit("too_short")),
@@ -156,6 +147,19 @@ def quality_stage(
         F.when(ne & (lang != Q.TARGET_LANG), F.lit("lang")),
         F.when(ne & (ppl > PPL_THRESHOLD), F.lit("perplexity")),
     ]
+    return rules
+
+
+def quality_stage(
+    df: DataFrame, caption_col: str = "caption", keep_signals: bool = False
+) -> DataFrame:
+    """Adds lang, ppl, drop_reasons (ordered array<string>) and keep."""
+    caption = F.col(caption_col)
+
+    df = df.withColumn("_lp", lang_ppl_udf(caption))
+    lang = F.col("_lp.lang")
+    ppl = F.col("_lp.ppl")
+    rules = drop_reason_rules(caption, lang, ppl)
     out = (
         df.withColumn("lang", lang)
         .withColumn("ppl", ppl)

@@ -31,8 +31,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.metrics import partition_metrics
-from .operators.quality_stage import quality_stage
-from .operators.scrub import scrub_stage
 from .sources import table_io
 
 PART_COL = "part_id"
@@ -43,8 +41,15 @@ def with_part_id(df: DataFrame, num_parts: int, id_col: str = "image_id") -> Dat
 
 
 def transform(df: DataFrame) -> DataFrame:
-    """The logical plan, cheap columns first; bytes passes through untouched."""
-    return scrub_stage(quality_stage(df))
+    """The logical plan; bytes passes through untouched.
+
+    Uses the fused single-Arrow-round-trip stage — semantically identical
+    to scrub_stage(quality_stage(df)) (see operators/fused.py) but one
+    Python stage instead of two, halving worker-process pressure.
+    """
+    from .operators.fused import fused_quality_scrub
+
+    return fused_quality_scrub(df)
 
 
 def run_pipeline(

@@ -78,3 +78,20 @@ def test_null_caption_safe(spark):
     assert rows["a"]["drop_reasons"] == ["empty"]
     assert rows["a"]["scrubbed_caption"] == ""
     assert rows["b"]["drop_reasons"] == ["too_short"]
+
+
+def test_fused_stage_equals_chained_stages(spark, corpus):
+    """fused_quality_scrub must be plan-for-plan replaceable with
+    scrub_stage(quality_stage(df)) — same columns, same values."""
+    from pii_filter_spark.operators.fused import fused_quality_scrub
+
+    df, _ = corpus
+    chained = scrub_stage(quality_stage(df))
+    fused = fused_quality_scrub(df)
+    assert fused.columns == chained.columns
+    a = {r["image_id"]: r for r in chained.collect()}
+    b = {r["image_id"]: r for r in fused.collect()}
+    assert a.keys() == b.keys()
+    for k in a:
+        ra, rb = a[k].asDict(True), b[k].asDict(True)
+        assert ra == rb, k
