@@ -363,6 +363,55 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ perturbed copies (+0.5 on component 0, double math so
+    the DuckDB oracle reproduces cosines bit-for-bit at 4 decimals)."""
+    base = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    copies = base.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x, i: F.when(i == 0, x + 0.5).otherwise(x)
+        ).alias("embedding"),
+    )
+    return base.unionByName(copies)
+
+
+def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (broadcast matmul, no join)."""
+    from pii_filter_spark.operators.similarity import cosine_near_pairs_exact
+
+    return cosine_near_pairs_exact(
+        _emb_with_neardups(spark, sf_dir), threshold=0.85
+    ).select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def q_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-bucketed scale path for the same near-dup discovery."""
+    from pii_filter_spark.operators.similarity import cosine_near_pairs_lsh
+
+    return cosine_near_pairs_lsh(
+        _emb_with_neardups(spark, sf_dir), threshold=0.85, planes=16, chunks=4
+    ).select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def q_bpe_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization counts rolled up by source; the token
+    regex is written in shared Java-regex/RE2 syntax so the oracle runs
+    the IDENTICAL pattern."""
+    from pii_filter_spark.operators.textstats import token_counts
+
+    tc = token_counts(_docs(spark, sf_dir))
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    return (
+        tc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.sum("bpe_tokens").alias("total_bpe_tokens"))
+    )
+
+
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pii_filter_spark.operators.dedup import simhash_near_pairs
 
@@ -456,6 +505,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
+        "embedding_near_pairs": q_embedding_near_pairs,
+        "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
+        "bpe_token_totals": q_bpe_token_totals,
         "langid_documents": q_langid_documents,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
@@ -608,6 +660,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         "skew_salted_counts": """
             SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY event_type
+        """,
+        "embedding_near_pairs": """
+            WITH base AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ), all_vecs AS (
+              SELECT vec_id, v FROM base
+              UNION ALL
+              SELECT vec_id + 1000000,
+                     list_concat([v[1] + 0.5], v[2:len(v)])
+              FROM base WHERE vec_id % 10 = 0
+            ), unit AS (
+              SELECT vec_id, v,
+                     sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+              FROM all_vecs
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                     list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+                     / (a.nrm * b.nrm), 4) AS cos_sim
+            FROM unit a JOIN unit b ON a.vec_id < b.vec_id
+            WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+                  / (a.nrm * b.nrm) >= 0.85
+        """,
+        "bpe_token_totals": r"""
+            SELECT source,
+                   SUM(len(regexp_extract_all(
+                       text, '[\p{L}\p{N}_]+|[^\p{L}\p{N}_\s]'))) AS total_bpe_tokens
+            FROM documents
+            GROUP BY source
         """,
         # Rows-only (model-backed / non-SQL-expressible): langid_documents,
         # minhash_signatures, simhash, ann_lsh, quality_full, image_verify,

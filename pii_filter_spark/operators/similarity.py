@@ -23,7 +23,7 @@ SRP was chosen because it needs no training job and stays deterministic.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Iterator, List, Sequence
 
 import numpy as np
 import pandas as pd
@@ -122,3 +122,130 @@ def embedding_norms(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:
     return df.select(F.col(id_col), _norm_expr(F.col(vec_col)).alias("l2_norm"))
+
+
+def cosine_near_pairs_exact(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (id_a < id_b, cos_sim >= t).
+
+    Broadcast-matmul brute force: the (id, unit-vector) matrix is collected
+    to the driver, broadcast to executors, and each Arrow batch does ONE
+    numpy matmul against it — no crossJoin, no shuffle, vectorized end to
+    end. This is the correctness baseline / small-side verifier: it is the
+    right plan whenever one side fits in executor memory (here: the whole
+    table, mirroring a dedup pass where the dictionary side is bounded).
+    For tables where no side fits, use cosine_near_pairs_lsh.
+    """
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    spark = df.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def _pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m, idv = b_mat.value, b_ids.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ m.T
+            qid = pdf[id_col].to_numpy(dtype=np.int64)
+            # id_a < id_b keeps each unordered pair exactly once
+            ri, ci = np.nonzero((sims >= threshold) & (qid[:, None] < idv[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id_a": qid[ri],
+                    "id_b": idv[ci],
+                    "cos_sim": sims[ri, ci],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        _pairs, schema="id_a long, id_b long, cos_sim double"
+    )
+
+
+def cosine_near_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    planes: int = 16,
+    chunks: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 31,
+    dim: int = 64,
+) -> DataFrame:
+    """Scale path: SRP-signature chunk bucketing (any pair of vectors at
+    angle <= theta agrees on a whole chunk with high probability), bucket
+    collect_list, in-array pair expansion with exact cosine verification —
+    same no-self-join shape as minhash_lsh_pairs/simhash_near_pairs, so
+    the signature UDF runs once and only verified pairs leave the task."""
+    bits_per = planes // chunks
+    mask = (1 << bits_per) - 1
+    sig_udf = srp_signature_udf(dim, planes, seed)
+    unit = F.transform(
+        F.col(vec_col), lambda x: x.cast("double") / _norm_expr(F.col(vec_col))
+    )
+    sigs = df.select(
+        F.struct(
+            F.col(id_col).alias("id"), unit.alias("uv")
+        ).alias("m"),
+        sig_udf(F.col(vec_col)).alias("_sig"),
+    )
+    chunked = sigs.select(
+        "m",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("_sig", bits_per * i).bitwiseAND(F.lit(mask))
+                    for i in range(chunks)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    members = (
+        chunked.groupBy("chunk_idx", "chunk_val")
+        .agg(F.collect_list("m").alias("ms"))
+        .where(F.size("ms") > 1)
+    )
+
+    def _cos(x, y):
+        return F.aggregate(
+            F.zip_with(x["uv"], y["uv"], lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return (
+        members.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ms",
+                        lambda x, i: F.filter(
+                            F.transform(
+                                F.slice("ms", i + 2, F.size("ms")),
+                                lambda y: F.struct(
+                                    F.when(x["id"] < y["id"], x["id"])
+                                    .otherwise(y["id"]).alias("id_a"),
+                                    F.when(x["id"] < y["id"], y["id"])
+                                    .otherwise(x["id"]).alias("id_b"),
+                                    _cos(x, y).alias("cos_sim"),
+                                ),
+                            ),
+                            lambda p: p["cos_sim"] >= threshold,
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.*")
+        .dropDuplicates(["id_a", "id_b"])
+    )

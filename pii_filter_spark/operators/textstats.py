@@ -16,7 +16,9 @@ from .quality_stage import quality_signal_columns
 
 # "BPE-ish" tokenizer regex: word pieces OR single non-space symbols —
 # the standard pre-tokenization split used before byte-pair merging.
-BPE_TOKEN_RE = r"(?U)\w+|[^\w\s]"
+# Written with unicode property classes (not (?U)\w) so the IDENTICAL
+# pattern runs under Java regex (Spark) and RE2 (DuckDB oracle).
+BPE_TOKEN_RE = r"[\p{L}\p{N}_]+|[^\p{L}\p{N}_\s]"
 
 
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

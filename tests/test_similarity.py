@@ -66,3 +66,40 @@ def test_embedding_norms(spark, emb, emb_np):
     exp = np.linalg.norm(mat, axis=1)
     for i, vid in enumerate(ids):
         assert got[int(vid)] == pytest.approx(float(exp[i]), rel=1e-9)
+
+
+def test_cosine_near_pairs_exact_vs_lsh(spark):
+    """LSH candidate path must reproduce the exact path's pairs (same
+    threshold) with high recall on clustered inputs; both ordered-normalized."""
+    import numpy as np
+    from pii_filter_spark.operators.similarity import (
+        cosine_near_pairs_exact,
+        cosine_near_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((60, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        if i % 3 == 0:  # a near-dup at small angle
+            w = v + rng.standard_normal(64) * 0.05
+            rows.append((1000 + i, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_near_pairs_exact(df, threshold=0.9).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in cosine_near_pairs_lsh(df, threshold=0.9, planes=16, chunks=4).collect()
+    }
+    assert len(exact) >= 15  # most planted dups survive the 0.9 threshold
+    # LSH returns a subset of the exact pairs, with identical cosines
+    assert set(approx) <= set(exact)
+    for k, v in approx.items():
+        assert abs(v - exact[k]) < 1e-9
+    recall = len(approx) / len(exact)
+    assert recall >= 0.9, (recall, len(exact), len(approx))

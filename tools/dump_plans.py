@@ -1,0 +1,96 @@
+"""Regenerate PLANS.md: formatted physical plans for the load-bearing
+queries, with the scale-relevant property each plan is meant to exhibit.
+Run from the repo root: python tools/dump_plans.py
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+
+CASES = [
+    (
+        "pii_scrub_captions",
+        "Flagship scrub: ONE ArrowEvalPython node (fused UDF evaluated once, "
+        "struct-field extraction does NOT re-run it), scan reads only "
+        "(doc_id, text) — the ReadSchema line proves column pruning; the "
+        "repartition exchange exists only to spread the single-file test "
+        "scan and disappears on a many-file production table.",
+    ),
+    (
+        "golden_broadcast_join",
+        "Golden-label join shape: both dimension joins are "
+        "BroadcastHashJoin (no shuffle of the fact table); aggregation is "
+        "partial (HashAggregate before the exchange) then final.",
+    ),
+    (
+        "metrics_rollup",
+        "Metrics rollup: WholeStageCodegen covers scan→partial-agg; only "
+        "the combined partials shuffle (map-side combine).",
+    ),
+    (
+        "resume_antijoin",
+        "Checkpoint resume: left-anti join, broadcast because the "
+        "completed-partition side is small.",
+    ),
+    (
+        "dedup_window",
+        "Window dedup (first row per key): single shuffle on the partition "
+        "key, WindowGroupLimit pushes rn==1 below the sort where supported.",
+    ),
+    (
+        "minhash_lsh_pairs",
+        "LSH near-dup pairs: signature UDF appears ONCE (no self-join "
+        "double-evaluation); one shuffle to bucket, pair expansion and "
+        "threshold filtering happen inside the bucket task, distinct on "
+        "surviving pairs only.",
+    ),
+    (
+        "embedding_near_pairs",
+        "Exact cosine pairs: MapInPandas over the scan — broadcast "
+        "matmul, zero shuffles, no crossJoin node anywhere.",
+    ),
+    (
+        "quality_filter_heuristic",
+        "Native quality rules: the staged select materializes the token "
+        "split once; everything stays inside WholeStageCodegen (no Python).",
+    ),
+]
+
+
+def main() -> None:
+    from pii_filter_spark.session import get_spark
+
+    import __spark_entry__ as em
+
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = em.queries()
+
+    out = io.StringIO()
+    out.write(
+        "# PLANS — physical-plan evidence for the load-bearing queries\n\n"
+        "Regenerate with `python tools/dump_plans.py` (writes this file).\n"
+        "Plans captured at sf0.01 on local[4]; `AdaptiveSparkPlan "
+        "isFinalPlan=false` because .explain renders the pre-execution "
+        "plan — AQE re-optimizes at runtime (coalesce, skew split).\n"
+    )
+    for name, note in CASES:
+        df = qs[name](spark, SF)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        out.write(f"\n## {name}\n\n{note}\n\n```\n{buf.getvalue().strip()}\n```\n")
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write(out.getvalue())
+    print("wrote PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
