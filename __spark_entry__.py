@@ -263,6 +263,26 @@ def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 6-hour windows per event type — the windowed-agg shape
+    (tests/test_streaming.py runs the SAME aggregation through
+    readStream + watermark and asserts batch/stream agreement)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
 def q_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scrub → restore must be identity (reference R1+R3 inverse stage)."""
     from pii_filter_spark.operators.restore_stage import restore_stage
@@ -498,6 +518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_window": q_dedup_window,
         "resume_antijoin": q_resume_antijoin,
         "events_by_type": q_events_by_type,
+        "events_windowed": q_events_windowed,
         "restore_roundtrip": q_restore_roundtrip,
         "scrub_golden_f1": q_scrub_golden_f1,
         "skew_salted_counts": q_skew_salted_counts,
@@ -644,6 +665,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(*) AS cnt, round(SUM(value), 4) AS total_value
             FROM events
             GROUP BY event_type
+        """,
+        "events_windowed": """
+            SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+                   event_type, COUNT(*) AS cnt,
+                   round(SUM(value), 4) AS total_value
+            FROM events
+            GROUP BY 1, 2
         """,
         "restore_roundtrip": f"""
             SELECT doc_id,
