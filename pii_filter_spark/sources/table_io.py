@@ -24,8 +24,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    """True only if the Iceberg runtime is actually on the JVM classpath.
+
+    NB: `spark._jvm.org.apache.iceberg.Table` is NOT a valid probe — py4j
+    resolves missing classes to a lazy JavaPackage without raising, so it
+    reports true on any classpath. Class.forName forces real loading.
+    """
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.catalog.Catalog"
+        )
         return True
     except Exception:
         return False
