@@ -375,6 +375,19 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe dedup by perceptual hash on the synthetic image table —
+    the north-rule dedup-by-phash path with a deliberately hot-keyed
+    phash distribution (a few values cover ~20% of rows)."""
+    from pii_filter_spark.operators.dedup import dedup_by_key
+    from pii_filter_spark.sources.synth import build_input_table
+
+    imgs = build_input_table(spark, 400, seed=42, num_partitions=8)
+    return dedup_by_key(
+        imgs.select("image_id", "phash"), "phash", "image_id"
+    ).select("image_id", "phash")
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup discovery over documents ∪ perturbed copies of them."""
     from pii_filter_spark.operators.dedup import minhash_lsh_pairs
@@ -533,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_counts": q_skew_salted_counts,
         "image_verify": q_image_verify,
         "image_features": q_image_features,
+        "phash_dedup": q_phash_dedup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "embedding_near_pairs": q_embedding_near_pairs,

@@ -62,18 +62,92 @@ FIRST_NAMES = frozenset({
     "roberto", "rodrigo", "rosa", "sandra", "sérgio", "sergio", "simone",
     "sofia", "tatiana", "thiago", "tiago", "vanessa", "vinícius",
     "vinicius", "vítor", "vitor", "wagner",
+    # IBGE-common + well-known Brazilian given names (public knowledge);
+    # the grammar still requires a capitalized surname sequence + guards,
+    # so dictionary size trades recall, not precision.
+    "abel", "adão", "adriana", "adriano", "alan", "alana", "alberto",
+    "alexandre", "alexandra", "alice", "aline", "alinne", "amanda",
+    "anderson", "andré", "andre", "andréa", "andrea", "andressa",
+    "ângela", "angela", "angelo", "antônia", "antonia", "ariana", "arthur",
+    "artur", "augusto", "aurora", "bárbara", "barbara", "benedito",
+    "bento", "bernardo", "betina", "bianca", "brenda", "breno", "bruna",
+    "caetano", "caio", "camille", "carmem", "carmen", "cauã", "caua",
+    "caco", "cecília", "cecilia", "celso", "césar", "cesar", "chay",
+    "cíntia", "cintia", "clara", "cléber", "cleber", "clóvis", "clovis",
+    "conceição", "conceicao", "dalva", "damião", "damiao", "danilo",
+    "davi", "david", "débora", "debora", "deborah", "denis", "denise",
+    "dira", "diogo", "dirce", "douglas", "edson", "edu", "eliane",
+    "elisa", "elias", "eliza", "eloá", "eloa", "elza", "emanuel",
+    "emília", "emilia", "enzo", "érica", "erica", "erik", "erika",
+    "ester", "esther", "eva", "evandro", "fabrício", "fabricio",
+    "fátima", "fatima", "flávia", "flavia", "flávio", "flavio",
+    "gal", "geraldo", "gilberto", "giovana", "giovanna", "giovani",
+    "giulia", "glória", "gloria", "graziela", "grazi", "guilherme",
+    "heitor", "heloísa", "heloisa", "hugo", "humberto", "iago", "igor",
+    "inês", "ines", "irandhir", "irene", "isabel", "isabella", "isadora",
+    "isis", "ísis", "ítalo", "italo", "ivan", "ivana", "ivone", "jade",
+    "jaime", "janaína", "janaina", "jaqueline", "javier", "jean",
+    "jéssica", "jessica", "jesuíta", "jesuita", "joana", "joaquim",
+    "johnny", "jonas", "jonathan", "juarez", "judite", "júlia", "julia",
+    "juliano", "kaique", "karen", "karina", "kátia", "katia", "lara",
+    "lázaro", "lazaro", "leandro", "leila", "leona", "leonor", "lídia",
+    "lidia", "lígia", "ligia", "lílian", "lilian", "lívia", "livia",
+    "lorena", "lourdes", "luan", "luana", "lúcia", "lucia", "luciano",
+    "lucimar", "luna", "maisa", "maitê", "maite", "manuela", "manuel",
+    "marcela", "marcelle", "márcio", "marcio", "marco", "margarida",
+    "marieta", "marília", "marilia", "marina", "mário", "mario", "marisa",
+    "marta", "mateus", "maurício", "mauricio", "mauro", "maya", "mel",
+    "melissa", "mércia", "mercia", "milena", "milton", "miriam", "moacir",
+    "mônica", "monica", "murilo", "nanda", "nair", "nara", "nathalia",
+    "nathália", "nelson", "neuza", "nicolas", "nicole", "nina", "noemi",
+    "norberto", "olavo", "olga", "olívia", "olivia", "orlando", "osvaldo",
+    "otávio", "otavio", "pablo", "paloma", "pâmela", "pamela", "paolla",
+    "patrícia", "patricia", "priscila", "raul", "rebeca", "regina",
+    "reinaldo", "reynaldo", "renan", "renato", "rita", "rivaldo",
+    "rogério", "rogerio", "romário", "romario", "ronaldo", "roseli",
+    "rubens", "rui", "ruth", "sabrina", "salvador", "samanta", "samara",
+    "samuel", "sara", "sarah", "sebastião", "sebastiao", "selma",
+    "selton", "severino", "sheila", "sidney", "silvana", "sílvia",
+    "silvia", "silvio", "solange", "sônia", "sonia", "soraia", "stella",
+    "sueli", "susana", "taís", "tais", "tainá", "taina", "talita",
+    "tânia", "tania", "tatá", "tata", "teresa", "tereza", "thaís",
+    "thais", "theo", "tomás", "tomas", "toni", "tony", "ubirajara",
+    "valentina", "valéria", "valeria", "valter", "vera", "verônica",
+    "veronica", "vicente", "vilma", "viviane", "vladimir", "walter",
+    "wanda", "wanessa", "washington", "wellington", "wesley", "william",
+    "wilson", "yara", "yasmin", "zélia", "zelia", "zeca",
+    "ademar", "ademir", "adriane", "ailton", "aílton", "alcides",
+    "almir", "aloísio", "aloisio", "altair", "amaro", "américo",
+    "americo", "aparecida", "arnaldo", "assis", "carmo", "cléo", "cleo",
+    "dandara", "domingos", "edvaldo", "elton", "emerson", "everton",
+    "gilmar", "hélio", "helio", "hilda", "ingrid", "iracema", "isabelle",
+    "ivete", "jader", "jandira", "jeferson", "jefferson", "josias",
+    "jussara", "kleber", "klara", "lauro", "marjorie", "maurílio",
+    "maurilio", "mara", "nilton", "odete", "osmar", "pietro", "raquel",
+    "rosana", "rosângela", "rosangela", "sandy", "suelen", "valdir",
+    "valdemar", "vanda", "vando", "zilda",
 })
 
 # Name connectives allowed between capitalized surname tokens.
 NAME_CONNECTIVES = frozenset({"da", "de", "do", "das", "dos", "e"})
 
-# Job-title grammar vocabulary (reference constants.py:105-196).
+# Job-title grammar vocabulary (reference constants.py:105-196, widened
+# with common Brazilian corporate titles — public vocabulary).
 ROLE_WORDS = (
     "analista", "gerente", "coordenador", "coordenadora", "diretor",
     "diretora", "supervisor", "supervisora", "assistente", "estagiário",
     "estagiária", "consultor", "consultora", "técnico", "técnica",
     "engenheiro", "engenheira", "desenvolvedor", "desenvolvedora",
     "especialista", "chefe", "lider", "líder",
+    "cientista", "editor", "editora", "head", "arquiteto", "arquiteta",
+    "designer", "programador", "programadora", "administrador",
+    "administradora", "auxiliar", "operador", "operadora", "vendedor",
+    "vendedora", "presidente", "vice-presidente", "secretário",
+    "secretária", "contador", "contadora", "eletricista", "redator",
+    "redatora", "tradutor", "tradutora", "revisor", "revisora",
+    "instrutor", "instrutora", "pesquisador", "pesquisadora",
+    "apresentador", "apresentadora", "tesoureiro", "tesoureira",
+    "conselheiro", "conselheira", "embaixador", "embaixadora",
 )
 SENIORITY_WORDS = ("júnior", "pleno", "sênior", "sr", "pl", "jr", "ii", "iii")
 # Domain nouns that may follow "<role> de ..." — bounds the reference's
@@ -84,10 +158,37 @@ ROLE_DOMAIN_WORDS = (
     "produtos", "projetos", "ti", "informática", "manutenção", "suporte",
     "enfermagem", "qualidade", "logística", "operações", "compras",
     "contabilidade", "atendimento", "infraestrutura", "redes",
+    "bi", "contas", "expansão", "negócios", "comunicação", "engenharia",
+    "pessoas", "tecnologia", "clientes", "risco", "riscos", "crédito",
+    "cobrança", "frota", "estoque", "expedição", "obras", "planejamento",
+    "controladoria", "tesouraria", "auditoria", "treinamento",
+    "desenvolvimento", "inovação", "pesquisa", "jurídico", "conteúdo",
+    "arte", "criação", "dramaturgia", "mídia", "facilities", "estratégia",
+    "branding", "moda", "máquinas", "marca", "marcas", "tendências",
+    "culturais", "call", "center", "mobile", "backend", "frontend",
+    "devops",
+)
+# Adjective-style qualifiers: "Diretor Comercial", "Gerente Regional ..."
+ROLE_ADJECTIVES = (
+    "comercial", "regional", "executivo", "executiva", "financeiro",
+    "financeira", "administrativo", "administrativa", "industrial",
+    "técnico", "técnica", "geral", "artístico", "artística", "criativo",
+    "criativa", "clínico", "clínica", "pedagógico", "pedagógica",
+    "jurídico", "jurídica", "operacional", "chefe", "nacional",
+)
+# English-loan titles common in Brazilian tech/corporate orgs.
+ENGLISH_TITLES = (
+    "product owner", "scrum master", "tech lead", "team lead",
+    "product manager", "data scientist", "account manager", "key account",
+    "ceo", "cfo", "cto", "coo",
 )
 SINGLE_WORD_CARGOS = (
     "médico", "médica", "advogado", "advogada", "professor", "professora",
-    "motorista", "recepcionista",
+    "motorista", "recepcionista", "enfermeiro", "enfermeira",
+    "farmacêutico", "farmacêutica", "psicólogo", "psicóloga",
+    "fisioterapeuta", "nutricionista", "jornalista", "economista",
+    "veterinário", "veterinária", "dentista", "bibliotecário",
+    "bibliotecária", "porteiro", "porteira", "cozinheiro", "cozinheira",
 )
 
 # City dictionary for LOCAL (seed list; broadcast-scale in production).
@@ -101,8 +202,16 @@ STREET_PREFIXES = ("Rua", "Avenida", "Av\\.", "Travessa", "Praça", "Alameda",
                    "Rodovia", "Estrada")
 
 ORG_PREFIXES = ("Banco", "Grupo", "Empresa", "Companhia", "Instituto",
-                "Universidade", "Hospital", "Escola", "Clínica")
+                "Universidade", "Hospital", "Escola", "Clínica",
+                "Caixa", "Seguradora", "Fundação", "Prefeitura",
+                "Secretaria", "Associação", "Cooperativa", "Construtora",
+                "Editora", "Laboratório", "Transportadora",
+                "Distribuidora", "Consultoria", "Corretora",
+                "Imobiliária", "Faculdade", "Colégio")
 ORG_SUFFIXES = ("Ltda\\.?", "S\\.A\\.", "S/A", "Eireli", "ME", "EPP")
+# Branded trailing words: "<Brand> Saúde", "<Brand> Bank", "<Brand> Seguros"
+ORG_SUFFIX_WORDS = ("Saúde", "Seguros", "Bank", "Previdência",
+                    "Capitalização", "Investimentos", "Consórcios")
 
 # ---------------------------------------------------------------------------
 # Grammar compilation
@@ -121,6 +230,9 @@ def _alts(words) -> str:
 _ROLE = _alts(ROLE_WORDS)
 _SEN = _alts(SENIORITY_WORDS)
 _DOM = _alts(ROLE_DOMAIN_WORDS)
+_ADJ = _alts(ROLE_ADJECTIVES)
+_ENG = _alts(ENGLISH_TITLES)
+_ORG_SUF_W = _alts(ORG_SUFFIX_WORDS)
 _SINGLE = _alts(SINGLE_WORD_CARGOS)
 _CITY = _alts(CITIES)
 _STREET = "|".join(STREET_PREFIXES)
@@ -134,14 +246,28 @@ _CONN = _alts(NAME_CONNECTIVES)
 GRAMMARS: List[Tuple[str, re.Pattern]] = [
     # CARGO: dev stack pattern must come before generic role pattern
     ("CARGO", re.compile(
-        rf"\b(?:desenvolvedor|desenvolvedora|dev)"
-        rf"(?:\s+(?:full|back|front))?(?:\s+(?:stack|end))?"
+        rf"\b(?:desenvolvedor|desenvolvedora|dev|engenheiro|engenheira)"
+        rf"(?:\s+(?:full|back|front|mobile|devops))(?:\s+(?:stack|end))?"
         rf"(?:\s+(?:{_SEN}))?\b", re.IGNORECASE)),
     ("CARGO", re.compile(
-        rf"\b(?:{_ROLE})(?:\s+(?:de|em))?(?:\s+(?:{_DOM})){{1,2}}"
-        rf"(?:\s+(?:{_SEN}))?\b", re.IGNORECASE)),
-    ("CARGO", re.compile(rf"\b(?:{_ROLE})\s+(?:{_SEN})\b", re.IGNORECASE)),
+        rf"\b(?:{_ENG})(?:\s+(?:{_SEN}))?\b", re.IGNORECASE)),
+    # role word + AT LEAST one qualifier (adjective / de-domain / english
+    # tail / seniority) — a bare role word in running text ("assistência
+    # técnica", "atestado médico") is usually not a job title.
+    ("CARGO", re.compile(
+        rf"\b(?:{_ROLE})"
+        rf"(?:\s+(?:(?:{_ADJ})|(?:(?:de|em)\s+)?(?:{_DOM})|(?:{_ENG})|(?:{_SEN})))+"
+        rf"\b", re.IGNORECASE)),
     ("CARGO", re.compile(rf"\b(?:{_SINGLE})\b", re.IGNORECASE)),
+    # Capitalized bare role word ("contratada como Diretora") — the
+    # title-case form is a job title far more reliably than the lowercase
+    # running-text form ("assistência técnica"), so this pattern is
+    # deliberately case-SENSITIVE.
+    ("CARGO", re.compile(
+        r"\b(?:"
+        + "|".join(sorted({w[0].upper() + w[1:] for w in ROLE_WORDS},
+                          key=len, reverse=True))
+        + r")\b")),
     # NOME_COMPLETO: first-name-dictionary-anchored capitalized run — the
     # first token is one of the known given names (capitalized form baked
     # into the alternation so the scan can't be swallowed by a preceding
@@ -152,11 +278,14 @@ GRAMMARS: List[Tuple[str, re.Pattern]] = [
         + "|".join(sorted({n[0].upper() + n[1:] for n in FIRST_NAMES},
                           key=len, reverse=True))
         + rf")(?:\s+(?:(?:{_CONN})\s+)?{_CAP})+")),
-    # ORGANIZACAO: keyword-prefixed or legal-suffix forms
+    # ORGANIZACAO: keyword-prefixed, legal-suffix, or brand-suffix forms
     ("ORGANIZACAO", re.compile(
-        rf"\b(?:{_ORG_PRE})(?:\s+{_CAP})+(?:\s+(?:{_ORG_SUF}))?")),
+        rf"\b(?:{_ORG_PRE})(?:\s+(?:(?:{_CONN})\s+)?{_CAP})+"
+        rf"(?:\s+(?:{_ORG_SUF}))?")),
     ("ORGANIZACAO", re.compile(
         rf"\b{_CAP}(?:\s+{_CAP})*\s+(?:{_ORG_SUF})")),
+    ("ORGANIZACAO", re.compile(
+        rf"\b{_CAP}(?:\s+{_CAP})*\s+(?:{_ORG_SUF_W})\b")),
     # LOCAL: street grammar. The span deliberately EXCLUDES any trailing
     # house number: the reference's digit noise guard (ner_service.py:122-127)
     # rejects digit-containing entities, so including ", 123" would kill the

@@ -60,6 +60,12 @@ CASES = [
         "Native quality rules: the staged select materializes the token "
         "split once; everything stays inside WholeStageCodegen (no Python).",
     ),
+    (
+        "pii_type_counts",
+        "Explode over a UDF array: explode_outer + post-generate filter "
+        "keeps ONE ArrowEvalPython — plain explode would push a size()>0 "
+        "filter below the Generate and re-run the UDF per row.",
+    ),
 ]
 
 
@@ -86,6 +92,22 @@ def main() -> None:
         with redirect_stdout(buf):
             df.explain("formatted")
         out.write(f"\n## {name}\n\n{note}\n\n```\n{buf.getvalue().strip()}\n```\n")
+
+    # the flagship pipeline over the input_hint table (bytes pass-through)
+    from pii_filter_spark.pipeline import transform
+    from pii_filter_spark.sources.synth import build_input_table
+
+    df = transform(build_input_table(spark, 100, num_partitions=4))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    out.write(
+        "\n## pipeline.transform (flagship image+caption scrub)\n\n"
+        "One fused ArrowEvalPython over the caption column only — the "
+        "MB-scale `bytes` column never enters a Python worker or a "
+        "shuffle; it rides the scan straight to the write.\n\n"
+        f"```\n{buf.getvalue().strip()}\n```\n"
+    )
     with open("/root/repo/PLANS.md", "w") as f:
         f.write(out.getvalue())
     print("wrote PLANS.md")
