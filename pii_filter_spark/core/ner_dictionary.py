@@ -196,6 +196,31 @@ CITIES = (
     "São Paulo", "Rio de Janeiro", "Belo Horizonte", "Porto Alegre",
     "Curitiba", "Salvador", "Recife", "Fortaleza", "Campinas", "Niterói",
     "Brasília", "Manaus", "Goiânia", "Florianópolis", "Santos",
+    "Guarulhos", "Aracaju", "João Pessoa", "Balneário Camboriú",
+    "Teresina", "Natal", "Maceió", "São Luís", "Cuiabá", "Campo Grande",
+    "Vitória", "Belém", "Porto Velho", "Rio Branco", "Macapá", "Palmas",
+    "Londrina", "Joinville", "Caxias do Sul", "Uberlândia", "Sorocaba",
+    "Ribeirão Preto", "São José dos Campos", "Osasco", "Santo André",
+    "São Bernardo do Campo", "Contagem", "Feira de Santana",
+    "Duque de Caxias", "Nova Iguaçu", "Petrópolis", "Juiz de Fora",
+    "Anápolis", "Pelotas", "Canoas", "Blumenau", "Maringá", "Bauru",
+    "Franca", "Olinda", "Caruaru", "Mossoró", "Imperatriz",
+)
+
+# Well-known urban neighborhoods (bairros) — public geography; the
+# reference's spaCy LOC tag covers these, our dictionary analog must too.
+NEIGHBORHOODS = (
+    "Boa Vista", "Leblon", "Jardins", "Centro", "Bela Vista",
+    "Copacabana", "Barra da Tijuca", "Consolação", "Cerqueira César",
+    "Itaim Bibi", "Ipanema", "Flamengo", "Botafogo", "Tijuca", "Moema",
+    "Pinheiros", "Vila Madalena", "Vila Mariana", "Morumbi", "Brooklin",
+    "Lapa", "Santa Cecília", "Liberdade", "Higienópolis", "Perdizes",
+    "Savassi", "Funcionários", "Pampulha", "Menino Deus",
+    "Moinhos de Vento", "Asa Sul", "Asa Norte", "Aldeota", "Meireles",
+    "Boa Viagem", "Ondina", "Pituba", "Batel", "Água Verde",
+    "Bigorrilho", "Cambuí", "Gonzaga", "Icaraí", "Trindade",
+    "Lagoa Nova", "Jardim Paulista", "Vila Olímpia", "Leme", "Gávea",
+    "Laranjeiras", "Jardim Botânico", "Humaitá", "Catete", "Glória",
 )
 
 STREET_PREFIXES = ("Rua", "Avenida", "Av\\.", "Travessa", "Praça", "Alameda",
@@ -235,6 +260,7 @@ _ENG = _alts(ENGLISH_TITLES)
 _ORG_SUF_W = _alts(ORG_SUFFIX_WORDS)
 _SINGLE = _alts(SINGLE_WORD_CARGOS)
 _CITY = _alts(CITIES)
+_NBH = _alts(NEIGHBORHOODS)
 _STREET = "|".join(STREET_PREFIXES)
 _ORG_PRE = _alts(ORG_PREFIXES)
 _ORG_SUF = "|".join(ORG_SUFFIXES)
@@ -294,7 +320,9 @@ GRAMMARS: List[Tuple[str, re.Pattern]] = [
     ("LOCAL", re.compile(
         rf"\b(?:{_STREET})(?:\s+(?:(?:{_CONN})\s+)?{_CAP})+")),
     ("LOCAL", re.compile(rf"\bBairro(?:\s+{_CAP})+")),
-    ("LOCAL", re.compile(rf"\b(?:{_CITY})\b")),
+    # city, optionally suffixed with the state code ("Guarulhos-SP")
+    ("LOCAL", re.compile(rf"\b(?:{_CITY})(?:-[A-Z]{{2}})?\b")),
+    ("LOCAL", re.compile(rf"\b(?:{_NBH})\b")),
 ]
 
 _NAME_SUFFIXES = (" ii", " iii", " iv", " v", " jr", " sr", " filho", " neto")

@@ -90,3 +90,35 @@ def test_dictionary_ner_f1_on_reference_dataset():
     f1 = 2 * precision * recall / (precision + recall)
     assert precision >= 0.9, (TP, FP, FN)
     assert f1 >= 0.85, (TP, FP, FN, f1)
+
+
+@pytest.mark.skipif(not os.path.exists(DATASET), reason="reference dataset absent")
+def test_ner_with_addresses_f1_on_reference_dataset():
+    """Address-inclusive protocol: the reference maps spaCy LOC → LOCAL
+    while its golden labels use ENDERECO_{LOGRADOURO,CIDADE,BAIRRO};
+    relabel those to LOCAL and score all 4 NER types. Measured 0.914."""
+    from pii_filter_spark.core.detect import detect_all
+
+    ADDR = {"ENDERECO_LOGRADOURO", "ENDERECO_CIDADE", "ENDERECO_BAIRRO"}
+    TYPES = {"NOME_COMPLETO", "CARGO", "ORGANIZACAO", "LOCAL"}
+    cases = json.load(open(DATASET))
+    TP = FP = FN = 0
+    for case in cases:
+        text = case["prompt_text"]
+        golden = []
+        for g in case["ground_truth"]:
+            t = "LOCAL" if g["pii_type"] in ADDR else g["pii_type"]
+            if t in TYPES:
+                golden.append((t, g["span"][0], g["span"][1]))
+        dets = [
+            (h["type"], h["start"], h["end"])
+            for h in detect_all(text)
+            if h["type"] in TYPES
+        ]
+        tp, fp, fn = greedy_span_match(dets, golden)
+        TP, FP, FN = TP + tp, FP + fp, FN + fn
+    precision = TP / (TP + FP)
+    recall = TP / (TP + FN)
+    f1 = 2 * precision * recall / (precision + recall)
+    assert precision >= 0.9, (TP, FP, FN)
+    assert f1 >= 0.85, (TP, FP, FN, f1)
