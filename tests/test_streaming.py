@@ -70,3 +70,81 @@ def test_stream_windowed_agg_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def test_stateful_distinct_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState dedup: a key re-sent in a later micro-batch
+    must not be emitted again."""
+    import pandas as pd
+
+    from pii_filter_spark.streaming import stateful_distinct
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: ids 0..9 ; batch 2: ids 5..14 (5 overlaps)
+    pd.DataFrame({"image_id": [f"i{k}" for k in range(10)],
+                  "v": list(range(10))}).to_parquet(src / "b1.parquet")
+    pd.DataFrame({"image_id": [f"i{k}" for k in range(5, 15)],
+                  "v": list(range(100, 110))}).to_parquet(src / "b2.parquet")
+
+    stream = (
+        spark.readStream.schema("image_id string, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stateful_distinct(stream, "image_id")
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from dedup_out").collect()
+    ids = [r.image_id for r in rows]
+    assert sorted(ids) == sorted({f"i{k}" for k in range(15)})
+    assert len(ids) == len(set(ids)) == 15
+
+
+def test_streaming_scrub_pipeline_matches_batch(spark, tmp_path):
+    """readStream → fused quality+scrub transform → writeStream parquet:
+    the streaming ingest of the image+caption table must produce exactly
+    the batch pipeline's rows (transform is stateless, so append mode)."""
+    from pii_filter_spark.pipeline import transform
+    from pii_filter_spark.sources.synth import gen_pandas
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pdf = gen_pandas(120, seed=31)
+    pdf.iloc[:60].to_parquet(src / "p1.parquet")
+    pdf.iloc[60:].to_parquet(src / "p2.parquet")
+
+    batch_df = spark.read.parquet(str(src))
+    expected = {
+        r.image_id: (r.keep, r.scrubbed_caption, r.scrub_count)
+        for r in transform(batch_df).collect()
+    }
+
+    out = tmp_path / "out"
+    q = (
+        transform(
+            spark.readStream.schema(batch_df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.image_id: (r.keep, r.scrubbed_caption, r.scrub_count)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert got == expected
+    assert len(got) == 120
