@@ -375,6 +375,30 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fan-out frame sampling (decode = deterministic sandbox stub)."""
+    from pii_filter_spark.operators.image_stage import sample_video_frames
+    from pii_filter_spark.sources.synth import build_input_table
+
+    vids = build_input_table(spark, 100, seed=42, num_partitions=8)
+    return sample_video_frames(vids, every_n=2).select(
+        "video_id", "frame_idx", "frame_w", "frame_h",
+        F.round("frame_gray_mean", 2).alias("frame_gray_mean"),
+    )
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pii_filter_spark.operators.audio_stage import audio_features
+    from pii_filter_spark.sources.synth import build_input_table
+
+    auds = build_input_table(spark, 150, seed=42, num_partitions=8)
+    return audio_features(auds).select(
+        "audio_id", "sample_rate", "n_samples",
+        F.round("rms", 4).alias("rms"),
+        F.round("zero_crossing_rate", 4).alias("zcr"),
+    )
+
+
 def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe dedup by perceptual hash on the synthetic image table —
     the north-rule dedup-by-phash path with a deliberately hot-keyed
@@ -547,6 +571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_verify": q_image_verify,
         "image_features": q_image_features,
         "phash_dedup": q_phash_dedup,
+        "video_frame_sample": q_video_frame_sample,
+        "audio_features": q_audio_features,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
         "embedding_near_pairs": q_embedding_near_pairs,

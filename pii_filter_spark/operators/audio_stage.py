@@ -1,0 +1,78 @@
+"""Audio-column operators: opaque `bytes` + typed metadata, like images.
+
+No audio codec ships in this container, so decode is a deterministic
+stub (same contract as image_stage._fake_video_decoder): a production
+deployment injects a soundfile/ffmpeg-backed decoder
+`(bytes) -> (sample_rate, float32 mono ndarray)`. Everything Spark-side
+— mapInPandas batching, column pruning, output schema — is real and
+tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+AUDIO_FEATURE_SCHEMA = (
+    "audio_id string, sample_rate int, n_samples long, duration_s double, "
+    "rms double, zero_crossing_rate double, peak double"
+)
+
+
+def _fake_audio_decoder(data: bytes):
+    """Deterministic pseudo-PCM derived from the byte content."""
+    digest = hashlib.blake2b(data, digest_size=8).digest()
+    rng = np.random.default_rng(int.from_bytes(digest, "little") % (2**63))
+    sr = 16_000
+    n = max(1, len(data)) * 4  # 4 "samples" per input byte
+    pcm = rng.standard_normal(n).astype(np.float32) * 0.1
+    return sr, pcm
+
+
+def audio_features(
+    df: DataFrame,
+    bytes_col: str = "bytes",
+    id_col: str = "image_id",
+    decoder=None,
+) -> DataFrame:
+    """Per-row acoustic features: duration, RMS, zero-crossing rate, peak."""
+    decode = decoder or _fake_audio_decoder
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                try:
+                    sr, pcm = decode(bytes(getattr(rec, bytes_col)))
+                except NotImplementedError:
+                    rows.append((getattr(rec, id_col), None, None, None,
+                                 None, None, None))
+                    continue
+                n = len(pcm)
+                zc = float(np.mean(np.abs(np.diff(np.signbit(pcm))))) if n > 1 else 0.0
+                rows.append(
+                    (
+                        getattr(rec, id_col),
+                        int(sr),
+                        int(n),
+                        float(n / sr),
+                        float(np.sqrt(np.mean(pcm**2))) if n else 0.0,
+                        zc,
+                        float(np.abs(pcm).max()) if n else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "audio_id", "sample_rate", "n_samples", "duration_s",
+                    "rms", "zero_crossing_rate", "peak",
+                ],
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        _feat, schema=AUDIO_FEATURE_SCHEMA
+    )

@@ -110,10 +110,70 @@ def image_features(df: DataFrame, thumb_size: int = 8) -> DataFrame:
     return df.select("image_id", "bytes").mapInPandas(_feat, schema=FEATURE_SCHEMA)
 
 
-def sample_video_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """SANDBOX STUB: no video codec exists in this container. The schema and
-    partitioning contract are defined; decode is not."""
-    raise NotImplementedError(
-        "video frame sampling requires a video decoder (absent in sandbox); "
-        "planned surface: mapInPandas (video_id, frame_idx, frame_bytes)"
+FRAME_SCHEMA = (
+    "video_id string, frame_idx int, frame_w int, frame_h int, "
+    "frame_gray_mean double, frame_bytes binary"
+)
+
+
+def _fake_video_decoder(data: bytes, w: int, h: int):
+    """SANDBOX decode stub (no video codec in this container): yields a
+    deterministic pseudo-frame sequence derived from the byte content —
+    frame count = len(data) // 1024 + 1, pixels seeded by (digest, idx).
+    A production deployment injects a PyAV/ffmpeg-backed decoder with the
+    same signature: (bytes, w, h) -> iterator of (idx, HxWx3 uint8)."""
+    import hashlib
+
+    digest = hashlib.blake2b(data, digest_size=8).digest()
+    seed = int.from_bytes(digest, "little")
+    n_frames = len(data) // 1024 + 1
+    for idx in range(n_frames):
+        rng = np.random.default_rng((seed + idx) % (2**63))
+        yield idx, rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def sample_video_frames(
+    df: DataFrame, every_n: int = 30, decoder=None
+) -> DataFrame:
+    """Every-Nth-frame sampling over an opaque video `bytes` column.
+
+    The Spark plumbing is real — mapInPandas fan-out (one input row →
+    many frame rows), Arrow-batched, column-pruned to (image_id, bytes,
+    w, h) — only the codec itself is a sandbox stub (see
+    _fake_video_decoder). Frames are re-encoded as PNG bytes so the
+    output column is storable/chainable into image operators.
+    """
+    decode = decoder or _fake_video_decoder
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                try:
+                    frames = decode(bytes(rec.bytes), rec.w, rec.h)
+                except NotImplementedError:
+                    continue
+                for idx, px in frames:
+                    if idx % every_n:
+                        continue
+                    rows.append(
+                        (
+                            rec.image_id,
+                            idx,
+                            px.shape[1],
+                            px.shape[0],
+                            float(px.mean()),
+                            encode_image(px, "png"),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "video_id", "frame_idx", "frame_w", "frame_h",
+                    "frame_gray_mean", "frame_bytes",
+                ],
+            )
+
+    return df.select("image_id", "bytes", "w", "h").mapInPandas(
+        _sample, schema=FRAME_SCHEMA
     )

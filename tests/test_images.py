@@ -47,3 +47,46 @@ def test_real_jpeg_stub_without_pillow():
         pytest.skip("Pillow present; real JPEG decode active")
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+
+
+def test_sample_video_frames_plumbing(spark):
+    """Fan-out mapInPandas: one row -> every_n-sampled frame rows, PNG
+    re-encoded, deterministic across runs (decode is the sandbox stub)."""
+    from pii_filter_spark.images import decode_image
+    from pii_filter_spark.operators.image_stage import sample_video_frames
+    from pii_filter_spark.sources.synth import gen_pandas
+
+    pdf = gen_pandas(6, seed=11)
+    df = spark.createDataFrame(pdf).repartition(3)
+    out = sample_video_frames(df, every_n=2).collect()
+    assert len(out) > 0
+    again = sample_video_frames(df, every_n=2).collect()
+    assert sorted((r.video_id, r.frame_idx) for r in out) == \
+           sorted((r.video_id, r.frame_idx) for r in again)
+    for r in out[:5]:
+        assert r.frame_idx % 2 == 0
+        px = decode_image(bytes(r.frame_bytes))
+        assert px.shape == (r.frame_h, r.frame_w, 3)
+        assert abs(float(px.mean()) - r.frame_gray_mean) < 1e-6
+
+
+def test_audio_features_plumbing(spark):
+    from pii_filter_spark.operators.audio_stage import audio_features
+    from pii_filter_spark.sources.synth import gen_pandas
+
+    pdf = gen_pandas(8, seed=12)
+    df = spark.createDataFrame(pdf).repartition(2)
+    rows = {r.audio_id: r for r in audio_features(df).collect()}
+    assert len(rows) == 8
+    for r in rows.values():
+        assert r.sample_rate == 16_000
+        assert r.n_samples > 0
+        assert abs(r.duration_s - r.n_samples / 16_000) < 1e-9
+        assert 0.0 < r.rms < 1.0
+        assert 0.0 <= r.zero_crossing_rate <= 1.0
+
+    def deny(data):  # a decoder that refuses -> null features, no crash
+        raise NotImplementedError
+
+    nulls = audio_features(df, decoder=deny).collect()
+    assert len(nulls) == 8 and all(r.sample_rate is None for r in nulls)
