@@ -523,6 +523,44 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN: deterministic k-means + nprobe probe."""
+    from pii_filter_spark.operators.similarity import (
+        cosine_topk_ivf,
+        train_ivf_centroids,
+    )
+
+    emb = _emb(spark, sf_dir)
+    query = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    cents = train_ivf_centroids(emb, k=8, iters=8)
+    out = cosine_topk_ivf(emb, [float(x) for x in query], cents, k=10, nprobe=4)
+    return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface: ROLLUP over (event_type, user bucket)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn("user_bucket", (F.col("user_id") % 4).cast("int"))
+        .rollup("event_type", "user_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.round(F.sum("value"), 4).alias("total_value"))
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface: INTERSECT / EXCEPT over customer keys."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    with_orders = orders.select(F.col("o_custkey").alias("custkey")).distinct()
+    all_cust = customer.select(F.col("c_custkey").alias("custkey"))
+    active = all_cust.intersect(with_orders)
+    inactive = all_cust.exceptAll(with_orders)
+    return active.withColumn("status", F.lit("active")).unionByName(
+        inactive.withColumn("status", F.lit("inactive"))
+    )
+
+
 def q_quality_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full quality stage incl. langid+perplexity UDF (model-backed)."""
     from pii_filter_spark.operators.quality_stage import quality_stage
@@ -582,6 +620,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "events_rollup": q_events_rollup,
+        "set_ops": q_set_ops,
         "quality_full": q_quality_full,
     }
 
@@ -761,6 +802,25 @@ def oracle_sql() -> dict[str, str]:
             FROM unit a JOIN unit b ON a.vec_id < b.vec_id
             WHERE list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
                   / (a.nrm * b.nrm) >= 0.85
+        """,
+        "events_rollup": """
+            SELECT event_type, CAST(user_id % 4 AS INT) AS user_bucket,
+                   COUNT(*) AS cnt, round(SUM(value), 4) AS total_value
+            FROM events
+            GROUP BY ROLLUP(event_type, CAST(user_id % 4 AS INT))
+        """,
+        "set_ops": """
+            SELECT custkey, 'active' AS status FROM (
+              SELECT c_custkey AS custkey FROM customer
+              INTERSECT
+              SELECT DISTINCT o_custkey FROM orders
+            )
+            UNION ALL
+            SELECT custkey, 'inactive' AS status FROM (
+              SELECT c_custkey AS custkey FROM customer
+              EXCEPT ALL
+              SELECT DISTINCT o_custkey FROM orders
+            )
         """,
         "bpe_token_totals": r"""
             SELECT source,

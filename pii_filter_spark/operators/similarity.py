@@ -17,8 +17,11 @@ Two paths over `embeddings(vec_id, embedding array<float>, label)`:
     scale the signature becomes the table's partition/bucket key so the
     probe prunes partitions instead of scanning.
 
-An IVF variant (k-means coarse quantizer) is the other classic scale path;
-SRP was chosen because it needs no training job and stays deterministic.
+  * IVF (k-means coarse quantizer) — the other classic scale path:
+    train_ivf_centroids (deterministic driver-side k-means on a bounded
+    sample) + ivf_assign (cluster column; the table's partition key at
+    production scale) + cosine_topk_ivf (probe nprobe clusters with a
+    native IN-list predicate → partition pruning, then exact cosine).
 """
 
 from __future__ import annotations
@@ -248,4 +251,82 @@ def cosine_near_pairs_lsh(
         )
         .select("p.*")
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    k: int = 16,
+    sample: int = 2048,
+    iters: int = 10,
+    vec_col: str = "embedding",
+    seed: int = 17,
+) -> np.ndarray:
+    """Deterministic k-means coarse quantizer (IVF training).
+
+    Trains driver-side on a bounded sample — the standard IVF recipe:
+    the codebook is tiny (k × dim) and training needs one pass over a
+    sample, not the table. numpy only, fixed iteration count, seeded
+    init, so the same data yields the same centroids on any cluster."""
+    rows = df.select(vec_col).limit(sample).collect()
+    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)  # cosine on unit vectors
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / (np.linalg.norm(m) or 1.0)
+    return cent
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Adds `ivf_cluster`: nearest-centroid id per row (one numpy matmul
+    per Arrow batch). At production scale this column becomes the
+    table's partition/bucket key so probes prune partitions."""
+    b_cent = df.sparkSession.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf(LongType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        cent = b_cent.value
+        if not len(vecs):
+            return pd.Series([], dtype="int64")
+        arr = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        arr = arr / np.linalg.norm(arr, axis=1, keepdims=True)
+        return pd.Series(np.argmax(arr @ cent.T, axis=1).astype(np.int64))
+
+    return df.withColumn("ivf_cluster", _assign(F.col(vec_col)))
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    query: Sequence[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF probe: exact cosine top-k over only the `nprobe` clusters
+    nearest to the query. The cluster filter is a native IN-list
+    predicate — with the table partitioned by ivf_cluster it becomes
+    partition pruning instead of a scan-and-filter."""
+    q = np.asarray(query, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    probes = np.argsort(-(centroids @ q))[:nprobe].tolist()
+    qnorm = float(np.linalg.norm(query))
+    assigned = ivf_assign(df, centroids, vec_col)
+    sim = _dot_expr(F.col(vec_col), query) / (_norm_expr(F.col(vec_col)) * F.lit(qnorm))
+    return (
+        assigned.where(F.col("ivf_cluster").isin(probes))
+        .select(F.col(id_col), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
     )

@@ -103,3 +103,31 @@ def test_cosine_near_pairs_exact_vs_lsh(spark):
         assert abs(v - exact[k]) < 1e-9
     recall = len(approx) / len(exact)
     assert recall >= 0.9, (recall, len(exact), len(approx))
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF (deterministic k-means quantizer + nprobe probe) must recover
+    most of the exact top-k while scanning only a cluster subset."""
+    import numpy as np
+    from pii_filter_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    query = [float(x) for x in emb.where("vec_id = 7").first()["embedding"]]
+    cents = train_ivf_centroids(emb, k=8, iters=8)
+    assert cents.shape[1] == 64
+    # determinism
+    cents2 = train_ivf_centroids(emb, k=8, iters=8)
+    assert np.allclose(cents, cents2)
+
+    exact = [r.vec_id for r in cosine_topk_bruteforce(emb, query, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in cosine_topk_ivf(emb, query, cents, k=10, nprobe=4).collect()
+    ]
+    assert approx[0] == 7  # the query vector itself
+    overlap = len(set(exact) & set(approx)) / 10
+    assert overlap >= 0.5, (exact, approx)
