@@ -350,6 +350,34 @@ def _passes_noise_guards(text: str) -> bool:
     return True
 
 
+# --- NOME fast path ---------------------------------------------------------
+# The NOME grammar is a ~400-way first-name alternation; scanning it
+# dominates find_entities (~3x the cost of all other patterns together).
+# Equivalent fast path: find generic capitalized runs with the SAME tail
+# structure, then check tokens against the name set (O(1) membership
+# instead of O(names) alternation). Equivalence with the alternation
+# pattern — which the fixture oracle still executes — is enforced by the
+# byte-equality tests (test_spark_stages) and the dataset F1 pins.
+_NAME_RUN_RE = re.compile(rf"\b{_CAP}(?:\s+(?:(?:{_CONN})\s+)?{_CAP})*")
+_RUN_WORD_RE = re.compile(r"\S+")
+_NAME_FORMS = frozenset(n[0].upper() + n[1:] for n in FIRST_NAMES)
+_NOME_PATTERN_IDS = {
+    id(p) for t, p in GRAMMARS if t == "NOME_COMPLETO"
+}
+
+
+def _find_names_fast(text: str) -> List[Tuple[int, int]]:
+    """Spans the NOME alternation pattern would match, via run scan."""
+    out: List[Tuple[int, int]] = []
+    for run in _NAME_RUN_RE.finditer(text):
+        words = list(_RUN_WORD_RE.finditer(run.group(0)))
+        for i, w in enumerate(words):
+            if i < len(words) - 1 and w.group(0) in _NAME_FORMS:
+                out.append((run.start() + w.start(), run.end()))
+                break  # the greedy match consumes to run end, like finditer
+    return out
+
+
 def find_entities(text: str) -> List[Dict[str, Any]]:
     """All dictionary-NER candidates on raw text, longest-match filtered.
 
@@ -357,7 +385,15 @@ def find_entities(text: str) -> List[Dict[str, Any]]:
     sorted by start.
     """
     candidates: List[Dict[str, Any]] = []
+    for s, e in _find_names_fast(text):
+        value = text[s:e]
+        if _passes_noise_guards(value):
+            candidates.append(
+                {"type": "NOME_COMPLETO", "value": value, "start": s, "end": e}
+            )
     for ent_type, pattern in GRAMMARS:
+        if id(pattern) in _NOME_PATTERN_IDS:
+            continue  # handled by the fast path above
         for m in pattern.finditer(text):
             value = m.group(0)
             start, end = m.start(), m.end()

@@ -98,3 +98,34 @@ def test_cleanup_duplicate_labels():
     assert cleanup_duplicate_labels("o CPF cpf 123") == "o CPF 123"
     assert cleanup_duplicate_labels("conta   conta 55") == "conta 55"
     assert cleanup_duplicate_labels("matrícula diferente") == "matrícula diferente"
+
+
+def test_nome_fast_path_equals_alternation_regex():
+    """_find_names_fast must produce exactly the spans of the original
+    ~400-way NOME alternation pattern, on real reference texts and on the
+    synthetic caption corpus."""
+    import json
+    import os
+
+    from pii_filter_spark.core.ner_dictionary import (
+        GRAMMARS,
+        _find_names_fast,
+    )
+    from pii_filter_spark.sources.synth import gen_pandas
+
+    nome_pats = [p for t, p in GRAMMARS if t == "NOME_COMPLETO"]
+    assert len(nome_pats) == 1
+    pat = nome_pats[0]
+
+    texts = list(gen_pandas(300, seed=77)["caption"])
+    if os.path.exists("/root/reference/dataset.json"):
+        texts += [
+            c["prompt_text"] for c in json.load(open("/root/reference/dataset.json"))
+        ]
+    checked = 0
+    for text in texts:
+        slow = [(m.start(), m.end()) for m in pat.finditer(text)]
+        fast = _find_names_fast(text)
+        assert fast == slow, (text, fast, slow)
+        checked += len(slow)
+    assert checked > 300  # the corpora really exercise the name grammar
