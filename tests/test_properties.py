@@ -93,3 +93,35 @@ def test_drop_reasons_deterministic_and_ordered(text):
     assert r1 == r2
     order = {name: i for i, name in enumerate(RULE_ORDER)}
     assert all(order[a] < order[b] for a, b in zip(r1, r1[1:]))
+
+
+# --- NOME fast-path equivalence under adversarial inputs --------------------
+
+_CAP_WORDS = st.sampled_from(
+    ["Maria", "Bruno", "Silva", "Souza", "Empresa", "Rua", "Anamaria",
+     "Anastácia", "Mariana", "X", "São", "D'Ávila", "Vila-Nova", "MARIA",
+     "Ana"]
+)
+_FILLERS = st.sampled_from(
+    ["da", "de", "dos", "e", "o", "contrato", "em", "para", "123",
+     "maria", "ana.", ",", ".", "-", "  ", "\n"]
+)
+
+
+@st.composite
+def _cap_text(draw):
+    n = draw(st.integers(min_value=0, max_value=12))
+    parts = []
+    for _ in range(n):
+        parts.append(draw(st.one_of(_CAP_WORDS, _FILLERS)))
+    return " ".join(parts)
+
+
+@settings(max_examples=500, deadline=None)
+@given(_cap_text())
+def test_nome_fast_path_property(text):
+    from pii_filter_spark.core.ner_dictionary import GRAMMARS, _find_names_fast
+
+    pat = next(p for t, p in GRAMMARS if t == "NOME_COMPLETO")
+    slow = [(m.start(), m.end()) for m in pat.finditer(text)]
+    assert _find_names_fast(text) == slow, text
