@@ -125,6 +125,20 @@ def _build_models() -> Dict[str, Dict[str, float]]:
 _MODELS = _build_models()
 LANGS = tuple(_MODELS.keys())
 
+# --- vectorized scoring tables ---------------------------------------------
+# One id per known trigram; _ADV[g, l] = (logp_l[g] - unseen_l) for seen
+# trigrams, 0.0 otherwise — the exact "advantage over the unseen floor"
+# the loop below computes, reduced to one fancy-index + column sum.
+import numpy as _np  # noqa: E402
+
+_VOCAB = sorted({g for m in _MODELS.values() for g in m["logp"]})
+_VOCAB_ID = {g: i for i, g in enumerate(_VOCAB)}
+_ADV = _np.zeros((len(_VOCAB), len(LANGS)))
+for _l, _lang in enumerate(LANGS):
+    _m = _MODELS[_lang]
+    for _g, _p in _m["logp"].items():
+        _ADV[_VOCAB_ID[_g], _l] = _p - _m["unseen"]
+
 
 def detect_language(text: str) -> str:
     """Most likely language label, or "und" with no evidence."""
@@ -144,18 +158,15 @@ def detect_language(text: str) -> str:
     # ADVANTAGE over the unseen floor, summed across trigrams. Unseen
     # trigrams contribute zero for every language, so corpora of different
     # sizes compare fairly and pure noise yields no winner ("und").
+    get = _VOCAB_ID.get
+    ids = [i for g in grams if (i := get(g)) is not None]
+    if not ids:
+        return UND
+    scores = _ADV[ids].sum(axis=0)
     best_lang, best_score = UND, 0.0
-    for lang in LANGS:
-        model = _MODELS[lang]
-        logp = model["logp"]
-        unseen = model["unseen"]
-        score = 0.0
-        for g in grams:
-            p = logp.get(g)
-            if p is not None:
-                score += p - unseen
-        if score > best_score:
-            best_lang, best_score = lang, score
+    for i, lang in enumerate(LANGS):
+        if scores[i] > best_score:
+            best_lang, best_score = lang, float(scores[i])
     return best_lang
 
 
