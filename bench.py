@@ -193,7 +193,7 @@ def main() -> None:
     os.makedirs(SCRATCH, exist_ok=True)
     path = _ensure_pipeline_input(spark, PIPE_N)
     _pipeline_secs(spark, path)  # warm-up
-    pipe_sec = min(_pipeline_secs(spark, path) for _ in range(2))
+    pipe_sec = min(_pipeline_secs(spark, path) for _ in range(3))
     timings["pipeline_images"] = round(pipe_sec, 4)
     print(f"pipeline_images: {pipe_sec:.3f}s "
           f"({PIPE_N / pipe_sec:.0f} images/s)", file=sys.stderr)
