@@ -378,6 +378,35 @@ def _find_names_fast(text: str) -> List[Tuple[int, int]]:
     return out
 
 
+# --- trigger gates ----------------------------------------------------------
+# Every CARGO pattern needs at least one role/title word and every LOCAL
+# pattern a street/city/bairro word; one cheap lowercase-token-set check
+# per text skips whole pattern groups on texts that cannot match (a
+# necessary-condition filter, so skipping is behavior-preserving — the
+# equivalence is exercised by the same parity tests as the NOME path).
+_WORD_SPLIT_RE = re.compile(r"\w+", re.UNICODE)
+
+
+def _first_word(vocab_entry: str) -> str:
+    m = _WORD_SPLIT_RE.search(vocab_entry.lower())
+    return m.group(0) if m else vocab_entry.lower()
+
+
+_CARGO_TRIGGERS = frozenset(
+    _first_word(w)
+    for group in (ROLE_WORDS, SINGLE_WORD_CARGOS, ENGLISH_TITLES,
+                  ("desenvolvedor", "desenvolvedora", "dev",
+                   "engenheiro", "engenheira"))
+    for w in group
+)
+_LOCAL_TRIGGERS = frozenset(
+    [_first_word(w) for w in CITIES]
+    + [_first_word(w) for w in NEIGHBORHOODS]
+    + ["rua", "avenida", "av", "travessa", "praça", "alameda", "rodovia",
+       "estrada", "bairro"]
+)
+
+
 def find_entities(text: str) -> List[Dict[str, Any]]:
     """All dictionary-NER candidates on raw text, longest-match filtered.
 
@@ -391,9 +420,16 @@ def find_entities(text: str) -> List[Dict[str, Any]]:
             candidates.append(
                 {"type": "NOME_COMPLETO", "value": value, "start": s, "end": e}
             )
+    words = frozenset(w.lower() for w in _WORD_SPLIT_RE.findall(text))
+    run_cargo = not words.isdisjoint(_CARGO_TRIGGERS)
+    run_local = not words.isdisjoint(_LOCAL_TRIGGERS)
     for ent_type, pattern in GRAMMARS:
         if id(pattern) in _NOME_PATTERN_IDS:
             continue  # handled by the fast path above
+        if ent_type == "CARGO" and not run_cargo:
+            continue
+        if ent_type == "LOCAL" and not run_local:
+            continue
         for m in pattern.finditer(text):
             value = m.group(0)
             start, end = m.start(), m.end()

@@ -129,3 +129,37 @@ def test_nome_fast_path_equals_alternation_regex():
         assert fast == slow, (text, fast, slow)
         checked += len(slow)
     assert checked > 300  # the corpora really exercise the name grammar
+
+
+def test_trigger_gates_are_necessary_conditions():
+    """Whenever the CARGO/LOCAL trigger gate skips a pattern group, the
+    skipped patterns must genuinely have no matches in that text."""
+    import json
+    import os
+
+    from pii_filter_spark.core.ner_dictionary import (
+        GRAMMARS,
+        _CARGO_TRIGGERS,
+        _LOCAL_TRIGGERS,
+        _WORD_SPLIT_RE,
+    )
+    from pii_filter_spark.sources.synth import gen_pandas
+
+    texts = list(gen_pandas(300, seed=55)["caption"])
+    if os.path.exists("/root/reference/dataset.json"):
+        texts += [
+            c["prompt_text"] for c in json.load(open("/root/reference/dataset.json"))
+        ]
+    skipped_checked = 0
+    for text in texts:
+        words = frozenset(w.lower() for w in _WORD_SPLIT_RE.findall(text))
+        skips = []
+        if words.isdisjoint(_CARGO_TRIGGERS):
+            skips.append("CARGO")
+        if words.isdisjoint(_LOCAL_TRIGGERS):
+            skips.append("LOCAL")
+        for ent_type, pattern in GRAMMARS:
+            if ent_type in skips:
+                assert not pattern.search(text), (ent_type, text)
+                skipped_checked += 1
+    assert skipped_checked > 100  # the gate actually fires on these corpora
