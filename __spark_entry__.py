@@ -3,11 +3,13 @@
 entry(spark)   — flagship: PII/toxicity scrub + quality filter over the
                  sf0.001 documents table with deterministic PII clauses
                  appended (the engine's core semantics end-to-end).
-queries()      — one callable per operator family from SURVEY.md §2 plus
-                 the north-rule/training-data additions.
-oracle_sql()   — DuckDB-equivalent SQL for every SQL-expressible query;
-                 model-backed ops (langid, perplexity, minhash, simhash,
-                 SRP-LSH) are intentionally absent → rows-only check.
+queries()      — 37 callables covering the operator families of
+                 SURVEY.md §2 plus the north-rule/training-data
+                 additions (see COVERAGE.md for the full map).
+oracle_sql()   — DuckDB-equivalent SQL for the 23 SQL-expressible
+                 queries; model-backed ops (langid, perplexity, minhash,
+                 simhash, SRP-LSH, IVF, image/audio/video decode) are
+                 intentionally absent → rows-only check.
 """
 
 from __future__ import annotations
