@@ -176,8 +176,8 @@ def q_token_counts_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         tc.join(src, "doc_id")
         .groupBy("source")
         .agg(
-            F.sum("ws_tokens").alias("total_ws_tokens"),
-            F.sum("n_chars").alias("total_chars"),
+            F.sum("ws_tokens").cast("long").alias("total_ws_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
 
@@ -259,7 +259,7 @@ def q_resume_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.join(done, "o_orderkey", "left_anti")
         .agg(F.count(F.lit(1)).alias("remaining"),
-             F.sum("o_orderkey").alias("key_sum"))
+             F.sum("o_orderkey").cast("long").alias("key_sum"))
     )
 
 
@@ -476,7 +476,7 @@ def q_bpe_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tc.join(src, "doc_id")
         .groupBy("source")
-        .agg(F.sum("bpe_tokens").alias("total_bpe_tokens"))
+        .agg(F.sum("bpe_tokens").cast("long").alias("total_bpe_tokens"))
     )
 
 
@@ -502,9 +502,15 @@ def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc minhash signature, projected to scalar columns: the driver's
+    canonicalizer pandas-sorts every column, and array<long> cells are
+    unhashable there — so explode sig to (doc_id, hash_idx, sig_value)."""
     from pii_filter_spark.operators.dedup import minhash_signatures
 
-    return minhash_signatures(_par(spark, _docs(spark, sf_dir)), num_hashes=32)
+    sigs = minhash_signatures(_par(spark, _docs(spark, sf_dir)), num_hashes=32)
+    return sigs.select(
+        "doc_id", F.posexplode("sig").alias("hash_idx", "sig_value")
+    )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,8 +696,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts_by_source": r"""
             SELECT source,
-                   SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS total_ws_tokens,
-                   SUM(len(text)) AS total_chars
+                   CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+                       AS total_ws_tokens,
+                   CAST(SUM(len(text)) AS BIGINT) AS total_chars
             FROM documents
             GROUP BY source
         """,
@@ -747,7 +754,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1
         """,
         "resume_antijoin": """
-            SELECT COUNT(*) AS remaining, SUM(o_orderkey) AS key_sum
+            SELECT COUNT(*) AS remaining, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
             FROM orders
             WHERE o_orderkey NOT IN (
               SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0
@@ -826,8 +833,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bpe_token_totals": r"""
             SELECT source,
-                   SUM(len(regexp_extract_all(
-                       text, '[\p{L}\p{N}_]+|[^\p{L}\p{N}_\s]'))) AS total_bpe_tokens
+                   CAST(SUM(len(regexp_extract_all(
+                       text, '[\p{L}\p{N}_]+|[^\p{L}\p{N}_\s]'))) AS BIGINT)
+                       AS total_bpe_tokens
             FROM documents
             GROUP BY source
         """,

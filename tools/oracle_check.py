@@ -48,7 +48,7 @@ def value_hash(rows, cols):
     return h.hexdigest()
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only=None):
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entrymod
@@ -73,6 +73,8 @@ def main(sf_dir: str):
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         try:
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
@@ -113,4 +115,5 @@ def main(sf_dir: str):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+         set(sys.argv[2:]) or None)
