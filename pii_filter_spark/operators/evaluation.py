@@ -74,12 +74,18 @@ def span_f1_counts(
 
     @pandas_udf("struct<tp: long, fp: long, fn: long>")
     def _match(dets: pd.Series, golds: pd.Series) -> pd.DataFrame:
+        # collect_list order is nondeterministic across runs/partitions and
+        # greedy matching is order-sensitive when same-type spans overlap —
+        # sort both sides by (start, end, type) for stable TP/FP counts.
+        def _spans(arr):
+            return sorted(
+                ((m["t"], m["s"], m["e"]) for m in (arr if arr is not None else [])),
+                key=lambda x: (x[1], x[2], x[0]),
+            )
+
         tps, fps, fns = [], [], []
         for d, g in zip(dets, golds):
-            tp, fp, fn = greedy_span_match(
-                [(m["t"], m["s"], m["e"]) for m in (d if d is not None else [])],
-                [(m["t"], m["s"], m["e"]) for m in (g if g is not None else [])],
-            )
+            tp, fp, fn = greedy_span_match(_spans(d), _spans(g))
             tps.append(tp)
             fps.append(fp)
             fns.append(fn)

@@ -132,6 +132,7 @@ def cosine_near_pairs_exact(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_rows: int = 1_000_000,
 ) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (id_a < id_b, cos_sim >= t).
 
@@ -141,8 +142,17 @@ def cosine_near_pairs_exact(
     end. This is the correctness baseline / small-side verifier: it is the
     right plan whenever one side fits in executor memory (here: the whole
     table, mirroring a dedup pass where the dictionary side is bounded).
-    For tables where no side fits, use cosine_near_pairs_lsh.
+    For tables where no side fits, use cosine_near_pairs_lsh. The
+    bounded-side precondition is ENFORCED: more than `max_rows` rows
+    raises instead of silently OOMing the driver at scale.
     """
+    probe = df.select(id_col).limit(max_rows + 1).count()
+    if probe > max_rows:
+        raise ValueError(
+            f"cosine_near_pairs_exact: input exceeds max_rows={max_rows} "
+            "(driver-collected broadcast baseline); use cosine_near_pairs_lsh "
+            "for unbounded tables, or raise max_rows explicitly."
+        )
     rows = df.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
@@ -189,19 +199,25 @@ def cosine_near_pairs_lsh(
     angle <= theta agrees on a whole chunk with high probability), bucket
     collect_list, in-array pair expansion with exact cosine verification —
     same no-self-join shape as minhash_lsh_pairs/simhash_near_pairs, so
-    the signature UDF runs once and only verified pairs leave the task."""
+    the signature UDF runs once and only verified pairs leave the task.
+
+    The norm is computed ONCE per row as a struct field (an O(d)
+    aggregate); normalizing inside a transform lambda instead would
+    re-evaluate it per element (O(d^2) per row — Catalyst does not hoist
+    loop-invariant subexpressions out of HOF lambdas). Zero-norm vectors
+    are dropped up front: they have no cosine direction and would
+    otherwise emit NaN pairs silently."""
     bits_per = planes // chunks
     mask = (1 << bits_per) - 1
     sig_udf = srp_signature_udf(dim, planes, seed)
-    unit = F.transform(
-        F.col(vec_col), lambda x: x.cast("double") / _norm_expr(F.col(vec_col))
-    )
     sigs = df.select(
         F.struct(
-            F.col(id_col).alias("id"), unit.alias("uv")
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+            _norm_expr(F.col(vec_col)).alias("nrm"),
         ).alias("m"),
         sig_udf(F.col(vec_col)).alias("_sig"),
-    )
+    ).where(F.col("m.nrm") > 0)
     chunked = sigs.select(
         "m",
         F.posexplode(
@@ -221,10 +237,10 @@ def cosine_near_pairs_lsh(
 
     def _cos(x, y):
         return F.aggregate(
-            F.zip_with(x["uv"], y["uv"], lambda a, b: a * b),
+            F.zip_with(x["v"], y["v"], lambda a, b: a * b),
             F.lit(0.0),
             lambda acc, v: acc + v,
-        )
+        ) / (x["nrm"] * y["nrm"])
 
     return (
         members.select(
@@ -260,6 +276,7 @@ def train_ivf_centroids(
     sample: int = 2048,
     iters: int = 10,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
     seed: int = 17,
 ) -> np.ndarray:
     """Deterministic k-means coarse quantizer (IVF training).
@@ -267,8 +284,11 @@ def train_ivf_centroids(
     Trains driver-side on a bounded sample — the standard IVF recipe:
     the codebook is tiny (k × dim) and training needs one pass over a
     sample, not the table. numpy only, fixed iteration count, seeded
-    init, so the same data yields the same centroids on any cluster."""
-    rows = df.select(vec_col).limit(sample).collect()
+    init, and the sample is taken in `id_col` order (plain limit() picks
+    rows by partition layout), so the same data yields the same centroids
+    on any cluster."""
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    rows = [(r[1],) for r in rows]
     x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     x = x / np.linalg.norm(x, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)

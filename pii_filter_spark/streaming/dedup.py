@@ -32,6 +32,13 @@ def stateful_distinct(
     Works on a streaming DataFrame (grouped-map with state). Output
     schema == input schema. Deterministic pick inside one batch: the
     row with the smallest tuple of remaining column values.
+
+    TTL semantics (timeout_ms set): suppress-while-active. EVERY arrival
+    of a key — including suppressed duplicates — renews the timeout, so a
+    key re-emits only after timeout_ms of complete silence. Without a
+    timeout the first-emit guarantee is absolute but state grows with the
+    key domain; with one, a row arriving after the silence window is
+    emitted again by design (bounded state ↔ bounded memory of the past).
     """
     schema = df.schema
     other_cols = [f.name for f in schema.fields]
@@ -50,6 +57,8 @@ def stateful_distinct(
             state.remove()
             return
         if state.exists:
+            if timeout_ms:
+                state.setTimeoutDuration(timeout_ms)  # renew TTL on every arrival
             return  # key already emitted in an earlier batch
         batch = pd.concat(list(pdfs), ignore_index=True)
         if batch.empty:

@@ -131,3 +131,30 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     assert approx[0] == 7  # the query vector itself
     overlap = len(set(exact) & set(approx)) / 10
     assert overlap >= 0.5, (exact, approx)
+
+
+def test_cosine_near_pairs_exact_enforces_row_bound(spark):
+    """The driver-collect baseline must refuse unbounded inputs loudly
+    (VERDICT: nothing previously enforced the 'one side fits' precondition)."""
+    from pii_filter_spark.operators.similarity import cosine_near_pairs_exact
+
+    df = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=3) for _ in range(4)]).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="cosine_near_pairs_lsh"):
+        cosine_near_pairs_exact(df, threshold=0.9, max_rows=10)
+    # at/below the bound it still works
+    out = cosine_near_pairs_exact(df, threshold=-1.1, max_rows=50)
+    assert out.count() == 50 * 49 / 2
+
+
+def test_lsh_drops_zero_norm_vectors(spark):
+    from pii_filter_spark.operators.similarity import cosine_near_pairs_lsh
+
+    rows = [(1, [1.0] * 8), (2, [1.0] * 8), (3, [0.0] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = cosine_near_pairs_lsh(df, threshold=0.5, planes=8, chunks=2, dim=8).collect()
+    ids = {r.id_a for r in got} | {r.id_b for r in got}
+    assert 3 not in ids  # zero-norm: no direction, no NaN pairs
+    assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
