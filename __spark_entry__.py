@@ -40,6 +40,28 @@ _SCRUBBED_CLAUSES = [
 ]
 _CLAUSE_TYPES = ["CPF", "EMAIL", "TELEFONE", "CEP", None]
 
+# Deterministic sensitive-topic clauses (reference F10 / 19-category LLM
+# stage, deterministic in pii_filter_spark/core/sensitive.py), keyed on
+# doc_id % 6. Expected scrubs asserted byte-exactly in tests and by the
+# DuckDB oracle.
+_SENS_CLAUSES = [
+    " Salário de R$ 12.345,00 confirmado.",
+    " Acesso pelo IP 192.168.0.55 liberado.",
+    " Matrícula 2024-9988 registrada.",
+    " Em tratamento psiquiátrico contínuo.",
+    " Conta 56789-0 e agência 1234 do banco.",
+    " Processo de divórcio em andamento.",
+]
+_SENS_SCRUBBED = [
+    " Salário de [SALARIO_1] confirmado.",
+    " Acesso pelo IP [IP_ADDRESS_1] liberado.",
+    " Matrícula [MATRICULA_1] registrada.",
+    " Em [CONDICAO_DE_SAUDE_1] contínuo.",
+    " Conta [CONTA_BANCARIA_1] e agência [AGENCIA_BANCARIA_1] do banco.",
+    " [PROBLEMA_PESSOAL_FAMILIAR_1] em andamento.",
+]
+_SENS_COUNTS = [1, 1, 1, 1, 2, 1]
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -70,7 +92,7 @@ def _captions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_case_clause(col: str, values: list, quote: bool = True) -> str:
-    parts = [f"CASE CAST({col} % 5 AS INT)"]
+    parts = [f"CASE CAST({col} % {len(values)} AS INT)"]
     for i, v in enumerate(values):
         lit = "NULL" if v is None else (f"'{v}'" if quote else str(v))
         parts.append(f"WHEN {i} THEN {lit}")
@@ -106,6 +128,28 @@ def q_pii_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("m").isNotNull())
         .groupBy(F.col("m.type").alias("pii_type"))
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def q_sensitive_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitive-topic (19-category) scrub — the reference's LLM stage
+    made deterministic. Same clause-injection protocol as
+    q_pii_scrub_captions, keyed doc_id % 6."""
+    from pii_filter_spark.operators.scrub import scrub_stage
+
+    clause = F.element_at(
+        F.array(*[F.lit(c) for c in _SENS_CLAUSES]),
+        (F.col("doc_id") % 6 + 1).cast("int"),
+    )
+    caps = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.concat(F.col("text"), clause).alias("caption"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return scrub_stage(caps).select(
+        "doc_id",
+        F.col("scrubbed_caption").alias("scrubbed"),
+        F.col("scrub_count").cast("int").alias("n_masked"),
     )
 
 
@@ -596,6 +640,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pii_scrub_captions": q_pii_scrub_captions,
+        "sensitive_scrub": q_sensitive_scrub,
         "pii_type_counts": q_pii_type_counts,
         "doc_word_stats": q_doc_word_stats,
         "quality_filter_heuristic": q_quality_filter_heuristic,
@@ -646,6 +691,13 @@ def oracle_sql() -> dict[str, str]:
                    text || {scrub_case} AS scrubbed,
                    CAST(CASE WHEN CAST(doc_id % 5 AS INT) = 4 THEN 0 ELSE 1 END AS INT)
                        AS n_masked
+            FROM documents
+        """,
+        "sensitive_scrub": f"""
+            SELECT doc_id,
+                   text || {_sql_case_clause("doc_id", _SENS_SCRUBBED)} AS scrubbed,
+                   CAST({_sql_case_clause("doc_id", _SENS_COUNTS, quote=False)}
+                        AS INT) AS n_masked
             FROM documents
         """,
         "pii_type_counts": f"""

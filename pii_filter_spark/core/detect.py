@@ -23,6 +23,12 @@ Frozen convention (parity citations into /root/reference):
  4. Toxicity word hits, dropped if overlapping any surviving regex/NER span
     (north-rule addition; same precedence rule as the reference's third
     stage, test_pipeline_integration.py:122-139).
+ 4b. Sensitive-topic candidates (the reference's 19-category LLM stage,
+    deterministic grammars in sensitive.py), dropped if overlapping any
+    surviving regex/NER/toxicity span — the reference's lowest-priority
+    stage (test_pipeline_integration.py:117-139). Its right-to-left
+    numbering quirk (local_llm_service.py:185-198) is normalized to the
+    L2R convention of every other stage.
  5. One substitution pass: placeholders "[{TYPE}_{n}]" numbered
     left-to-right per type, replacements applied right-to-left so indices
     never shift (regex_service.py:115-161). Mapping spans record ORIGINAL
@@ -39,6 +45,7 @@ from typing import Any, Dict, Iterable, List, Sequence, Tuple
 
 from .ner_dictionary import find_entities
 from .patterns import DEFAULT_PRIORITY, PII_PATTERNS, TYPE_PRIORITY, make_placeholder
+from .sensitive import find_sensitive
 from .toxicity import find_toxic
 from .validators import validate_pii
 
@@ -107,6 +114,7 @@ def detect_all(
     validate: bool = True,
     with_ner: bool = True,
     with_toxicity: bool = True,
+    with_sensitive: bool = True,
 ) -> List[Detection]:
     """Full precedence-resolved detection set, sorted by start offset."""
     regex_hits = resolve_regex_overlaps(find_regex_matches(text, validate))
@@ -116,7 +124,12 @@ def detect_all(
     tox_hits: List[Detection] = []
     if with_toxicity:
         tox_hits = drop_overlapping(find_toxic(text), regex_hits + ner_hits)
-    final = regex_hits + ner_hits + tox_hits
+    sens_hits: List[Detection] = []
+    if with_sensitive:
+        sens_hits = drop_overlapping(
+            find_sensitive(text), regex_hits + ner_hits + tox_hits
+        )
+    final = regex_hits + ner_hits + tox_hits + sens_hits
     final.sort(key=lambda d: d["start"])
     return final
 
@@ -157,11 +170,14 @@ def scrub_text(
     validate: bool = True,
     with_ner: bool = True,
     with_toxicity: bool = True,
+    with_sensitive: bool = True,
 ) -> Tuple[str, List[Dict[str, Any]]]:
     """Detect + resolve + substitute for one caption. None-safe."""
     if not text:
         return text or "", []
-    return substitute(text, detect_all(text, validate, with_ner, with_toxicity))
+    return substitute(
+        text, detect_all(text, validate, with_ner, with_toxicity, with_sensitive)
+    )
 
 
 def scrub_batch(
@@ -169,6 +185,7 @@ def scrub_batch(
     validate: bool = True,
     with_ner: bool = True,
     with_toxicity: bool = True,
+    with_sensitive: bool = True,
 ) -> List[Tuple[str, List[Dict[str, Any]]]]:
     """Batch entry point used by the Arrow/pandas UDF in operators/scrub.py."""
     out = []
@@ -176,5 +193,5 @@ def scrub_batch(
         if t is None or not isinstance(t, str):
             out.append(("" if t is None else str(t), []))
         else:
-            out.append(scrub_text(t, validate, with_ner, with_toxicity))
+            out.append(scrub_text(t, validate, with_ner, with_toxicity, with_sensitive))
     return out
