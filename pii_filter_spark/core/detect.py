@@ -117,17 +117,22 @@ def detect_all(
     with_sensitive: bool = True,
 ) -> List[Detection]:
     """Full precedence-resolved detection set, sorted by start offset."""
+    from .ner_dictionary import text_words
+
+    words = text_words(text)  # one tokenization shared by all gated stages
     regex_hits = resolve_regex_overlaps(find_regex_matches(text, validate))
     ner_hits: List[Detection] = []
     if with_ner:
-        ner_hits = drop_overlapping(find_entities(text), regex_hits)
+        ner_hits = drop_overlapping(find_entities(text, words), regex_hits)
     tox_hits: List[Detection] = []
     if with_toxicity:
-        tox_hits = drop_overlapping(find_toxic(text), regex_hits + ner_hits)
+        tox_hits = drop_overlapping(
+            find_toxic(text, words), regex_hits + ner_hits
+        )
     sens_hits: List[Detection] = []
     if with_sensitive:
         sens_hits = drop_overlapping(
-            find_sensitive(text), regex_hits + ner_hits + tox_hits
+            find_sensitive(text, words), regex_hits + ner_hits + tox_hits
         )
     final = regex_hits + ner_hits + tox_hits + sens_hits
     final.sort(key=lambda d: d["start"])

@@ -535,26 +535,56 @@ def _first_word(vocab_entry: str) -> str:
     return m.group(0) if m else vocab_entry.lower()
 
 
+def _rarest_word(vocab_entry: str) -> str:
+    # For multi-word titles pick the LONGEST token as the gate key:
+    # every phrase word is a necessary condition, and first words like
+    # "key"/"data" ("key account", "data scientist") saturate generic
+    # corpora (measured: gate fired on 92% of the synthetic documents,
+    # re-enabling the pattern scans the gate exists to skip).
+    words = _WORD_SPLIT_RE.findall(vocab_entry.lower())
+    return max(words, key=len) if words else vocab_entry.lower()
+
+
 _CARGO_TRIGGERS = frozenset(
-    _first_word(w)
-    for group in (ROLE_WORDS, SINGLE_WORD_CARGOS, ENGLISH_TITLES,
-                  ("desenvolvedor", "desenvolvedora", "dev",
-                   "engenheiro", "engenheira"))
-    for w in group
+    [
+        _first_word(w)
+        for group in (ROLE_WORDS, SINGLE_WORD_CARGOS,
+                      ("desenvolvedor", "desenvolvedora", "dev",
+                       "engenheiro", "engenheira"))
+        for w in group
+    ]
+    + [_rarest_word(w) for w in ENGLISH_TITLES]
+    + [w.lower() for w in CAPITALIZED_ONLY_CARGOS]
+    + ["vp"]
 )
 _LOCAL_TRIGGERS = frozenset(
     [_first_word(w) for w in CITIES]
     + [_first_word(w) for w in NEIGHBORHOODS]
     + ["rua", "avenida", "av", "travessa", "praça", "alameda", "rodovia",
-       "estrada", "bairro"]
+       "estrada", "via", "largo", "bairro"]
 )
+# ORG gate: prefix/brand/suffix words as tokens; the legal suffixes
+# ("S.A.", "Ltda") tokenize into letters too common to gate on, so they
+# get one tiny dedicated regex scan instead.
+_ORG_TRIGGERS = frozenset(
+    [w.lower() for w in ORG_PREFIXES]
+    + [_first_word(w) for w in BRAND_ORGS]
+    + [w.lower() for w in ORG_SUFFIX_WORDS]
+)
+_ORG_SUFFIX_RE = re.compile(r"\b(?:Ltda|S\.A\.|S/A|Eireli|ME|EPP)\b")
 
 
-def find_entities(text: str) -> List[Dict[str, Any]]:
+def text_words(text: str) -> frozenset:
+    """Lowercased \\w+ token set — the shared gate key for all detectors."""
+    return frozenset(w.lower() for w in _WORD_SPLIT_RE.findall(text))
+
+
+def find_entities(text: str, words: frozenset | None = None) -> List[Dict[str, Any]]:
     """All dictionary-NER candidates on raw text, longest-match filtered.
 
     Returns dicts {type, value, start, end} with spans in the original text,
-    sorted by start.
+    sorted by start. `words` lets detect_all share one tokenization
+    across all gated detectors.
     """
     candidates: List[Dict[str, Any]] = []
     for s, e in _find_names_fast(text):
@@ -563,15 +593,22 @@ def find_entities(text: str) -> List[Dict[str, Any]]:
             candidates.append(
                 {"type": "NOME_COMPLETO", "value": value, "start": s, "end": e}
             )
-    words = frozenset(w.lower() for w in _WORD_SPLIT_RE.findall(text))
+    if words is None:
+        words = text_words(text)
     run_cargo = not words.isdisjoint(_CARGO_TRIGGERS)
     run_local = not words.isdisjoint(_LOCAL_TRIGGERS)
+    run_org = (
+        not words.isdisjoint(_ORG_TRIGGERS)
+        or _ORG_SUFFIX_RE.search(text) is not None
+    )
     for ent_type, pattern in GRAMMARS:
         if id(pattern) in _NOME_PATTERN_IDS:
             continue  # handled by the fast path above
         if ent_type == "CARGO" and not run_cargo:
             continue
         if ent_type == "LOCAL" and not run_local:
+            continue
+        if ent_type == "ORGANIZACAO" and not run_org:
             continue
         for m in pattern.finditer(text):
             value = m.group(0)

@@ -30,9 +30,18 @@ _PATTERN = re.compile(
     re.IGNORECASE,
 )
 
+# token gate: every entry's first word, so the alternation scan is
+# skipped on clean texts (the overwhelmingly common case).
+_TRIGGERS = frozenset(w.split()[0] for w in TOXIC_WORDS)
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
 
-def find_toxic(text: str) -> List[Dict[str, Any]]:
+
+def find_toxic(text: str, words: frozenset | None = None) -> List[Dict[str, Any]]:
     """All toxic-word occurrences as {type, value, start, end} dicts."""
+    if words is None:
+        words = frozenset(w.lower() for w in _WORD_RE.findall(text))
+    if words.isdisjoint(_TRIGGERS):
+        return []
     return [
         {"type": TOXIC_TYPE, "value": m.group(0), "start": m.start(), "end": m.end()}
         for m in _PATTERN.finditer(text)
