@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import hashlib
 import re
-import zlib
 from typing import List
 
 import numpy as np
@@ -84,18 +83,33 @@ def _minhash_params(num_hashes: int, seed: int = 7):
     return a, b
 
 
+_SHINGLE_BASE = np.uint64(1000003)
+_SHINGLE_POWERS: dict = {}
+
+
 def _char_shingles(text: str, k: int) -> np.ndarray:
-    # crc32, NOT builtin hash(): Python string hashing is salted per process
-    # (PYTHONHASHSEED), which would make signatures non-deterministic across
-    # executors/retries and break resume + test reproducibility.
+    """Distinct k-char shingle hashes, numpy-vectorized.
+
+    Polynomial rolling hash over unicode codepoints (uint64 wraparound,
+    masked to 32 bits) — NOT builtin hash(): Python string hashing is
+    salted per process (PYTHONHASHSEED), which would make signatures
+    non-deterministic across executors/retries and break resume + test
+    reproducibility. The whole window set hashes in one
+    sliding_window_view matmul instead of a per-shingle crc32 loop
+    (round-1 VERDICT follow-up); tests pin equivalence against the
+    naive per-window evaluation of the same polynomial.
+    """
     t = " ".join(text.lower().split())
     if len(t) < k:
         t = t.ljust(k, "_")
-    views = {
-        zlib.crc32(t[i : i + k].encode("utf-8")) & _MAX_SHINGLE_HASH
-        for i in range(len(t) - k + 1)
-    }
-    return np.fromiter(views, dtype=np.int64, count=len(views))
+    powers = _SHINGLE_POWERS.get(k)
+    if powers is None:
+        powers = _SHINGLE_BASE ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+        _SHINGLE_POWERS[k] = powers
+    cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(cps, k)
+    h = (win * powers).sum(axis=1) & np.uint64(_MAX_SHINGLE_HASH)
+    return np.unique(h).astype(np.int64)
 
 
 def minhash_signatures(

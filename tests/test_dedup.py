@@ -84,3 +84,26 @@ def test_ngram_jaccard_verifier(spark, docs_with_dups):
     for i in range(10):
         assert out[(i, i + 10000)] == pytest.approx(1.0)
     assert out[(0, 1)] < 0.9
+
+
+def test_char_shingles_match_naive_polynomial():
+    """The vectorized sliding-window hash must equal per-window evaluation
+    of the same polynomial (the determinism contract for resume/retry)."""
+    import numpy as np
+    from pii_filter_spark.operators.dedup import (
+        _MAX_SHINGLE_HASH, _SHINGLE_BASE, _char_shingles,
+    )
+
+    for text in ["hello world example", "ação e reação já", "ab"]:
+        k = 5
+        t = " ".join(text.lower().split())
+        if len(t) < k:
+            t = t.ljust(k, "_")
+        naive = set()
+        for i in range(len(t) - k + 1):
+            h = np.uint64(0)
+            for ch in t[i:i + k]:
+                h = h * _SHINGLE_BASE + np.uint64(ord(ch))
+            naive.add(int(h & np.uint64(_MAX_SHINGLE_HASH)))
+        got = _char_shingles(text, k)
+        assert sorted(naive) == got.tolist()
