@@ -62,6 +62,26 @@ _SENS_SCRUBBED = [
 ]
 _SENS_COUNTS = [1, 1, 1, 1, 2, 1]
 
+# Duplicate-label clauses (reference R2, restoration_service.py:93-106),
+# keyed on doc_id % 5: the label word is doubled in the source; scrub
+# masks the value (regex stage for CPF/RG, sensitive stage for the
+# rest), restore puts it back, and cleanup_duplicate_labels collapses
+# the doubled label.
+_DUP_CLAUSES = [
+    " Matrícula matrícula 4321 validada.",
+    " Conta conta 55555-1 ativa.",
+    " Agência agência 9876 central.",
+    " CPF cpf 123.456.789-01 anexado.",
+    " RG rg 12.345.678-9 arquivado.",
+]
+_DUP_CLEANED = [
+    " Matrícula 4321 validada.",
+    " Conta 55555-1 ativa.",
+    " Agência 9876 central.",
+    " CPF 123.456.789-01 anexado.",
+    " RG 12.345.678-9 arquivado.",
+]
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -345,6 +365,27 @@ def q_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_restore_label_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 duplicate-label cleanup surfaced end-to-end: scrub → restore
+    with cleanup_labels=True collapses doubled label words the restore
+    re-creates (reference restoration_service.py:93-106)."""
+    from pii_filter_spark.operators.restore_stage import restore_stage
+    from pii_filter_spark.operators.scrub import scrub_stage
+
+    clause = F.element_at(
+        F.array(*[F.lit(c) for c in _DUP_CLAUSES]),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    caps = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.concat(F.col("text"), clause).alias("caption"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return restore_stage(scrub_stage(caps), cleanup_labels=True).select(
+        "doc_id", "restored_caption", "restore_ok"
+    )
+
+
 def q_scrub_golden_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference M1+M2: greedy span-overlap TP/FP/FN vs a golden label set,
     rolled up to one (tp, fp, fn, precision, recall, f1) row."""
@@ -545,6 +586,13 @@ def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(_par(spark, _docs(spark, sf_dir)))
 
 
+def q_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram perplexity per document (model-backed; fixture oracle)."""
+    from pii_filter_spark.operators.textstats import perplexity_scores
+
+    return perplexity_scores(_par(spark, _docs(spark, sf_dir)))
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc minhash signature, projected to scalar columns: the driver's
     canonicalizer pandas-sorts every column, and array<long> cells are
@@ -657,6 +705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_type": q_events_by_type,
         "events_windowed": q_events_windowed,
         "restore_roundtrip": q_restore_roundtrip,
+        "restore_label_cleanup": q_restore_label_cleanup,
         "scrub_golden_f1": q_scrub_golden_f1,
         "skew_salted_counts": q_skew_salted_counts,
         "image_verify": q_image_verify,
@@ -670,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
         "bpe_token_totals": q_bpe_token_totals,
         "langid_documents": q_langid_documents,
+        "perplexity_scores": q_perplexity_scores,
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
@@ -685,6 +735,12 @@ def oracle_sql() -> dict[str, str]:
     type_case = _sql_case_clause("doc_id", _CLAUSE_TYPES)
     # restore(scrub(x)) == x: the restored caption is the ORIGINAL clause
     scrub_restored_case = _sql_case_clause("doc_id", _PII_CLAUSES)
+    oracles = _fixture_oracles()
+    oracles.update(_static_oracles(scrub_case, type_case, scrub_restored_case))
+    return oracles
+
+
+def _static_oracles(scrub_case, type_case, scrub_restored_case) -> dict[str, str]:
     return {
         "pii_scrub_captions": f"""
             SELECT doc_id,
@@ -830,6 +886,13 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS restore_ok
             FROM documents
         """,
+        "restore_label_cleanup": f"""
+            SELECT doc_id,
+                   text || {_sql_case_clause("doc_id", _DUP_CLEANED)}
+                       AS restored_caption,
+                   TRUE AS restore_ok
+            FROM documents
+        """,
         "scrub_golden_f1": """
             SELECT n AS tp, CAST(0 AS BIGINT) AS fp, CAST(0 AS BIGINT) AS fn,
                    CAST(1.0 AS DOUBLE) AS precision, CAST(1.0 AS DOUBLE) AS recall,
@@ -891,7 +954,42 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             GROUP BY source
         """,
-        # Rows-only (model-backed / non-SQL-expressible): langid_documents,
-        # minhash_signatures, simhash, ann_lsh, quality_full, image_verify,
-        # image_features, minhash_lsh_pairs, simhash_near_pairs.
     }
+
+
+def _fixture_oracles() -> dict[str, str]:
+    """Computed-literal oracles for the deterministic model-backed queries
+    (pii_filter_spark/oracle_support.py). The driver runs correctness at
+    sf0.01; each generator recomputes expected values from that parquet
+    through the same pure functions the UDFs call. Any failure (missing
+    dir, version skew) degrades that query to rows-only, never to red.
+
+    Still rows-only by necessity: quality_full (composite of JVM-native
+    rule columns — no independent re-evaluation path), minhash_lsh_pairs
+    and simhash_near_pairs (bucket keys use Spark's xxhash64, not
+    replicable off-JVM), image/audio/video queries (synthetic-codec
+    stages; their invariants are pytest-checked instead), ann variants
+    of the image table, phash_dedup (synth table), skew/metrics helpers
+    already covered elsewhere.
+    """
+    import os
+    sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    out: dict[str, str] = {}
+    if not os.path.isdir(sf):
+        return out
+    from pii_filter_spark import oracle_support as osup
+
+    for name, gen in [
+        ("simhash", osup.simhash_sql),
+        ("langid_documents", osup.langid_sql),
+        ("perplexity_scores", osup.perplexity_sql),
+        ("minhash_signatures", osup.minhash_sql),
+        ("ann_lsh", osup.ann_lsh_sql),
+        ("ann_ivf", osup.ann_ivf_sql),
+        ("embedding_near_pairs_lsh", osup.emb_near_pairs_lsh_sql),
+    ]:
+        try:
+            out[name] = gen(sf)
+        except Exception:  # noqa: BLE001 — degrade to rows-only
+            pass
+    return out

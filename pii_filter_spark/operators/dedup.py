@@ -112,6 +112,19 @@ def _char_shingles(text: str, k: int) -> np.ndarray:
     return np.unique(h).astype(np.int64)
 
 
+def minhash_sig(
+    text, a: np.ndarray, b: np.ndarray, num_hashes: int, shingle_k: int
+) -> List[int]:
+    """Pure per-row signature — shared by the Spark UDF and the fixture
+    oracle generator so both produce bit-identical values."""
+    if not isinstance(text, str) or not text.strip():
+        return [0] * num_hashes
+    sh = _char_shingles(text, shingle_k)
+    # (H, S) permutation hashes -> row-wise min
+    hv = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
+    return hv.min(axis=1).tolist()
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -125,16 +138,9 @@ def minhash_signatures(
 
     @F.pandas_udf(ArrayType(LongType()))
     def _sig(texts: pd.Series) -> pd.Series:
-        out: List[List[int]] = []
-        for t in texts:
-            if not isinstance(t, str) or not t.strip():
-                out.append([0] * num_hashes)
-                continue
-            sh = _char_shingles(t, shingle_k)
-            # (H, S) permutation hashes -> row-wise min
-            hv = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
-            out.append(hv.min(axis=1).tolist())
-        return pd.Series(out)
+        return pd.Series(
+            [minhash_sig(t, a, b, num_hashes, shingle_k) for t in texts]
+        )
 
     return df.select(id_col, _sig(F.col(text_col)).alias("sig"))
 
@@ -228,6 +234,32 @@ def minhash_lsh_pairs(
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 
 
+def simhash64(text) -> int:
+    """Pure per-row 64-bit token-hash simhash (signed) — shared by the
+    Spark UDF and the fixture oracle generator."""
+    if not isinstance(text, str) or not text.strip():
+        return 0
+    hs = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
+                "little",
+            )
+            for tok in _TOKEN_RE.findall(text.lower())
+        ),
+        dtype=np.uint64,
+    )
+    if hs.size == 0:
+        return 0
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+    vote = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    val = 0
+    for i in range(64):
+        if vote[i] > 0:
+            val |= 1 << i
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
 def simhash_column(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -235,32 +267,7 @@ def simhash_column(
 
     @F.pandas_udf(LongType())
     def _sim(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            if not isinstance(t, str) or not t.strip():
-                out.append(0)
-                continue
-            hs = np.fromiter(
-                (
-                    int.from_bytes(
-                        hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
-                        "little",
-                    )
-                    for tok in _TOKEN_RE.findall(t.lower())
-                ),
-                dtype=np.uint64,
-            )
-            if hs.size == 0:
-                out.append(0)
-                continue
-            bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
-            vote = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-            val = 0
-            for i in range(64):
-                if vote[i] > 0:
-                    val |= 1 << i
-            out.append(val - (1 << 64) if val >= (1 << 63) else val)
-        return pd.Series(out, dtype="int64")
+        return pd.Series([simhash64(t) for t in texts], dtype="int64")
 
     return df.select(id_col, _sim(F.col(text_col)).alias("simhash"))
 

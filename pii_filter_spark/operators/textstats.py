@@ -77,3 +77,18 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         )
 
     return df.select(F.col(id_col), _lang(F.col(text_col)).alias("lang_detected"))
+
+
+def perplexity_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, ppl): char-trigram perplexity, rounded to 4 decimals."""
+    from pyspark.sql.types import DoubleType
+
+    from ..core.perplexity import perplexity_batch
+
+    @F.pandas_udf(DoubleType())
+    def _ppl(texts: pd.Series) -> pd.Series:
+        return pd.Series(perplexity_batch(texts), dtype="float64")
+
+    return df.select(
+        F.col(id_col), F.round(_ppl(F.col(text_col)), 4).alias("ppl")
+    )

@@ -1,0 +1,251 @@
+"""Computed-literal DuckDB oracles for model-backed queries.
+
+The driver's correctness gate runs each queries() entry on Spark AND its
+oracle_sql() string on DuckDB, comparing value hashes. Model-backed
+operators (langid, perplexity, minhash, simhash, SRP-LSH, IVF) are not
+SQL-expressible — but they ARE deterministic pure functions, so their
+expected outputs can be PRECOMPUTED from the same parquet the oracle
+reads and emitted as a literal VALUES relation (round-1 VERDICT #9:
+"convert ○ rows-only checks to ⊕-grade evidence via fixtures").
+
+Every generator recomputes through the SAME pure function the Spark UDF
+calls (minhash_sig, simhash64, detect_language, perplexity, the numpy
+SRP/IVF math), so the oracle is an independent executor-free evaluation
+of identical semantics, not a copy of Spark's output. Floating-point
+results replicate Spark's arithmetic exactly: higher-order-function
+aggregates fold left-to-right (NOT numpy pairwise sums) and F.round's
+BigDecimal HALF_UP is matched with decimal.Decimal on repr().
+
+Generators read the parquet with DuckDB (no Spark session) and take
+~100 ms total at sf0.01. oracle_sql() calls them inside a try/except:
+if the fixture dir is absent or anything fails, the affected queries
+simply stay rows-only — never a red row from a fixture bug.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+from typing import List, Sequence, Tuple
+
+import duckdb
+import numpy as np
+
+
+def _round_like_spark(v: float, scale: int = 4) -> float:
+    """Spark F.round(double, n): BigDecimal.valueOf (shortest repr) +
+    HALF_UP. Decimal(repr(v)) has identical semantics."""
+    if v != v or v in (float("inf"), float("-inf")):
+        return v
+    q = Decimal(1).scaleb(-scale)
+    return float(Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _fold_dot(a: Sequence[float], b: Sequence[float]) -> float:
+    """zip_with(*, +-aggregate) with Spark's left-to-right fold order."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += float(x) * float(y)
+    return acc
+
+
+def _fold_norm(a: Sequence[float]) -> float:
+    acc = 0.0
+    for x in a:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _values_sql(rows: List[tuple], cols: List[str], types: List[str]) -> str:
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        if isinstance(v, float):
+            return repr(v)
+        return str(v)
+
+    body = ",\n".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    casts = ", ".join(
+        f"CAST({c} AS {t}) AS {c}" for c, t in zip(cols, types)
+    )
+    return (
+        f"SELECT {casts} FROM (VALUES\n{body}\n) AS t({', '.join(cols)})"
+    )
+
+
+def _read_docs(sf_dir: str) -> List[Tuple[int, str]]:
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+        " ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+def _read_embeddings(sf_dir: str) -> List[Tuple[int, list]]:
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet')"
+        " ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    return rows
+
+
+# ---------------------------------------------------------------------------
+# text-model oracles
+# ---------------------------------------------------------------------------
+
+def simhash_sql(sf_dir: str) -> str:
+    from .operators.dedup import simhash64
+
+    rows = [(d, simhash64(t)) for d, t in _read_docs(sf_dir)]
+    return _values_sql(rows, ["doc_id", "simhash"], ["BIGINT", "BIGINT"])
+
+
+def langid_sql(sf_dir: str) -> str:
+    from .core.langid import detect_language
+
+    rows = [(d, detect_language(t)) for d, t in _read_docs(sf_dir)]
+    return _values_sql(rows, ["doc_id", "lang_detected"], ["BIGINT", "VARCHAR"])
+
+
+def perplexity_sql(sf_dir: str) -> str:
+    from .core.perplexity import perplexity
+
+    rows = [
+        (d, _round_like_spark(perplexity(t))) for d, t in _read_docs(sf_dir)
+    ]
+    return _values_sql(rows, ["doc_id", "ppl"], ["BIGINT", "DOUBLE"])
+
+
+def minhash_sql(sf_dir: str, num_hashes: int = 32, shingle_k: int = 5,
+                seed: int = 7) -> str:
+    from .operators.dedup import _minhash_params, minhash_sig
+
+    a, b = _minhash_params(num_hashes, seed)
+    rows = []
+    for d, t in _read_docs(sf_dir):
+        for i, v in enumerate(minhash_sig(t, a, b, num_hashes, shingle_k)):
+            rows.append((d, i, v))
+    return _values_sql(
+        rows, ["doc_id", "hash_idx", "sig_value"], ["BIGINT", "INT", "BIGINT"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding oracles (SRP-LSH / IVF ANN) — numpy math identical to the UDFs
+# ---------------------------------------------------------------------------
+
+def _srp_sigs(mat: np.ndarray, planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    pl = rng.standard_normal((mat.shape[1], planes))
+    bits = (mat @ pl) > 0
+    return (bits.astype(np.int64) << np.arange(planes, dtype=np.int64)).sum(axis=1)
+
+
+def ann_lsh_sql(sf_dir: str, k: int = 10, planes: int = 16, max_flip: int = 6,
+                seed: int = 31) -> str:
+    emb = _read_embeddings(sf_dir)
+    ids = np.array([r[0] for r in emb], dtype=np.int64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in emb])
+    query = list(mat[ids.tolist().index(0)])
+    sigs = _srp_sigs(mat, planes, seed)
+    qsig = _srp_sigs(np.asarray([query]), planes, seed)[0]
+    qnorm = float(np.sqrt(np.dot(query, query)))
+    cand = [
+        i for i in range(len(ids))
+        if bin(int(sigs[i]) ^ int(qsig)).count("1") <= max_flip
+    ]
+    # order on the UNROUNDED cosine (Spark's orderBy runs before the
+    # final round(...) projection), round only for emission
+    scored = [
+        (int(ids[i]), _fold_dot(mat[i], query) / (_fold_norm(mat[i]) * qnorm))
+        for i in cand
+    ]
+    scored.sort(key=lambda r: (-r[1], r[0]))
+    rows = [(i, _round_like_spark(c)) for i, c in scored[:k]]
+    return _values_sql(rows, ["vec_id", "cos_sim"], ["BIGINT", "DOUBLE"])
+
+
+def ann_ivf_sql(sf_dir: str, k: int = 10, kc: int = 8, iters: int = 8,
+                nprobe: int = 4) -> str:
+    # train_ivf_centroids takes a Spark df; replicate its exact math on
+    # the same vec_id-ordered sample (numpy only, same seed path).
+    emb = _read_embeddings(sf_dir)
+    ids = np.array([r[0] for r in emb], dtype=np.int64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in emb])
+    x = mat[np.argsort(ids, kind="stable")][:2048]
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.default_rng(17)
+    cent = x[rng.choice(len(x), size=min(kc, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / (np.linalg.norm(m) or 1.0)
+    query = list(mat[ids.tolist().index(0)])
+    q = np.asarray(query) / np.linalg.norm(query)
+    probes = set(np.argsort(-(cent @ q))[:nprobe].tolist())
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    assign_all = np.argmax(unit @ cent.T, axis=1)
+    qnorm = float(np.linalg.norm(query))
+    scored = [
+        (int(ids[i]), _fold_dot(mat[i], query) / (_fold_norm(mat[i]) * qnorm))
+        for i in range(len(ids))
+        if int(assign_all[i]) in probes
+    ]
+    scored.sort(key=lambda r: (-r[1], r[0]))
+    rows = [(i, _round_like_spark(c)) for i, c in scored[:k]]
+    return _values_sql(rows, ["vec_id", "cos_sim"], ["BIGINT", "DOUBLE"])
+
+
+def emb_near_pairs_lsh_sql(sf_dir: str, threshold: float = 0.85,
+                           planes: int = 64, chunks: int = 8,
+                           seed: int = 31) -> str:
+    emb = _read_embeddings(sf_dir)
+    ids = [int(r[0]) for r in emb]
+    vecs = [np.asarray(r[1], dtype=np.float64) for r in emb]
+    # _emb_with_neardups: copies of vec_id % 10 == 0 with +0.5 on comp 0
+    all_ids, all_vecs = list(ids), list(vecs)
+    for i, vid in enumerate(ids):
+        if vid % 10 == 0:
+            v = vecs[i].copy()
+            v[0] += 0.5
+            all_ids.append(vid + 1_000_000)
+            all_vecs.append(v)
+    mat = np.stack(all_vecs)
+    sigs = _srp_sigs(mat, planes, seed)
+    bits_per = planes // chunks
+    mask = (1 << bits_per) - 1
+    norms = [_fold_norm(v) for v in all_vecs]
+    buckets: dict = {}
+    for i in range(len(all_ids)):
+        if norms[i] <= 0:
+            continue
+        for c in range(chunks):
+            key = (c, (int(sigs[i]) >> (bits_per * c)) & mask)
+            buckets.setdefault(key, []).append(i)
+    pairs = {}
+    for members in buckets.values():
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                x, y = members[ai], members[bi]
+                ia, ib = all_ids[x], all_ids[y]
+                if ia > ib:
+                    ia, ib, x, y = ib, ia, y, x
+                if (ia, ib) in pairs:
+                    continue
+                cos = _fold_dot(all_vecs[x], all_vecs[y]) / (norms[x] * norms[y])
+                if cos >= threshold:
+                    pairs[(ia, ib)] = _round_like_spark(cos)
+    rows = [(a, b, c) for (a, b), c in sorted(pairs.items())]
+    return _values_sql(rows, ["id_a", "id_b", "cos_sim"],
+                       ["BIGINT", "BIGINT", "DOUBLE"])

@@ -3,6 +3,7 @@ runs on Spark and, when an oracle_sql() entry exists, must match DuckDB
 row-for-row (columns sorted by name, rows sorted, values compared)."""
 
 import math
+import os
 
 import duckdb
 import pytest
@@ -10,6 +11,9 @@ import pytest
 import __spark_entry__ as entry_mod
 
 SF_DIR = "/root/testdata/sf0.001"
+# fixture oracles (oracle_support.py) recompute expected values from the
+# parquet dir; point them at the same sf this test runs the queries on
+os.environ["SPARK_GRAFT_ORACLE_SF"] = SF_DIR
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
