@@ -98,13 +98,17 @@ def run_level(cpus: int) -> dict:
     sys.path.insert(0, REPO)
     from pii_filter_spark.session import get_spark
 
+    # SPARK_GRAFT_WAVES: task waves per level (default 2). waves=1 is the
+    # fewer-bigger-tasks variant — at level 32 it halves the ~200 ms/task
+    # python-worker overhead and the tail-straggler window.
+    waves = int(os.environ.get("SPARK_GRAFT_WAVES", "2"))
     path = os.path.join(SCRATCH, f"input_n{PIPE_N}_s{PIPE_SEED}")
     conf = {}
     if os.path.exists(path):
-        per_split = max(8 << 20, _dir_bytes(path) // (2 * cpus) + 1)
+        per_split = max(8 << 20, _dir_bytes(path) // (waves * cpus) + 1)
         conf = {
             "spark.sql.files.maxPartitionBytes": str(per_split),
-            "spark.sql.files.minPartitionNum": str(2 * cpus),
+            "spark.sql.files.minPartitionNum": str(waves * cpus),
         }
     spark = get_spark(
         app_name=f"bench-local[{cpus}]",
