@@ -3,13 +3,14 @@
 entry(spark)   — flagship: PII/toxicity scrub + quality filter over the
                  sf0.001 documents table with deterministic PII clauses
                  appended (the engine's core semantics end-to-end).
-queries()      — 37 callables covering the operator families of
+queries()      — 41 callables covering the operator families of
                  SURVEY.md §2 plus the north-rule/training-data
                  additions (see COVERAGE.md for the full map).
-oracle_sql()   — DuckDB-equivalent SQL for the 23 SQL-expressible
-                 queries; model-backed ops (langid, perplexity, minhash,
-                 simhash, SRP-LSH, IVF, image/audio/video decode) are
-                 intentionally absent → rows-only check.
+oracle_sql()   — a DuckDB oracle for EVERY query: 25 plain SQL
+                 equivalents, 16 computed-literal fixture oracles for
+                 the model-backed ops (langid, perplexity, minhash,
+                 simhash, SRP-LSH, IVF, pair queries, image/audio/video
+                 stages) — see pii_filter_spark/oracle_support.py.
 """
 
 from __future__ import annotations
@@ -964,13 +965,13 @@ def _fixture_oracles() -> dict[str, str]:
     through the same pure functions the UDFs call. Any failure (missing
     dir, version skew) degrades that query to rows-only, never to red.
 
-    Still rows-only by necessity: quality_full (composite of JVM-native
-    rule columns — no independent re-evaluation path), minhash_lsh_pairs
-    and simhash_near_pairs (bucket keys use Spark's xxhash64, not
-    replicable off-JVM), image/audio/video queries (synthetic-codec
-    stages; their invariants are pytest-checked instead), ann variants
-    of the image table, phash_dedup (synth table), skew/metrics helpers
-    already covered elsewhere.
+    Pair queries (minhash_lsh_pairs, simhash_near_pairs) replicate the
+    LSH grouping by banded-signature EQUALITY — Spark's xxhash64 bucket
+    key is just an injective-modulo-2^-64 rename of the slice, so equal
+    slices <=> equal buckets. Synthetic-table queries (image/audio/
+    video/phash) replicate because gen_row(seed, idx) and every decoder
+    are pure per-row functions the mapInPandas stages import from the
+    same modules.
     """
     import os
     sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
@@ -980,7 +981,15 @@ def _fixture_oracles() -> dict[str, str]:
     from pii_filter_spark import oracle_support as osup
 
     for name, gen in [
+        ("quality_full", lambda sf: osup.quality_full_sql(sf, _PII_CLAUSES)),
         ("simhash", osup.simhash_sql),
+        ("minhash_lsh_pairs", osup.minhash_lsh_pairs_sql),
+        ("simhash_near_pairs", osup.simhash_near_pairs_sql),
+        ("image_verify", lambda sf: osup.image_verify_sql()),
+        ("image_features", lambda sf: osup.image_features_sql()),
+        ("video_frame_sample", lambda sf: osup.video_frame_sample_sql()),
+        ("audio_features", lambda sf: osup.audio_features_sql()),
+        ("phash_dedup", lambda sf: osup.phash_dedup_sql()),
         ("langid_documents", osup.langid_sql),
         ("perplexity_scores", osup.perplexity_sql),
         ("minhash_signatures", osup.minhash_sql),

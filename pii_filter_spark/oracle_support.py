@@ -249,3 +249,216 @@ def emb_near_pairs_lsh_sql(sf_dir: str, threshold: float = 0.85,
     rows = [(a, b, c) for (a, b), c in sorted(pairs.items())]
     return _values_sql(rows, ["id_a", "id_b", "cos_sim"],
                        ["BIGINT", "BIGINT", "DOUBLE"])
+
+
+def quality_full_sql(sf_dir: str, pii_clauses: Sequence[str]) -> str:
+    """q_quality_full expected output via the pure-Python rule mirror
+    (core/quality.drop_reasons) that tests already pin row-equal to the
+    JVM-native rule columns, plus the same langid/perplexity models the
+    UDF calls."""
+    from .core.langid import detect_language
+    from .core.perplexity import perplexity
+    from .core.quality import drop_reasons
+
+    rows = []
+    for d, t in _read_docs(sf_dir):
+        caption = t + pii_clauses[d % len(pii_clauses)]
+        lang = detect_language(caption)
+        ppl = perplexity(caption)
+        keep = not drop_reasons(caption, lang=lang, ppl=ppl)
+        rows.append((d, keep, lang, _round_like_spark(ppl)))
+    return _values_sql(
+        rows,
+        ["doc_id", "keep", "lang_detected", "ppl"],
+        ["BIGINT", "BOOLEAN", "VARCHAR", "DOUBLE"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH pair oracles — bucket EQUALITY replicates the grouping without
+# Spark's xxhash64 (equal bucket hash <=> equal banded signature slice /
+# chunk value, modulo ~2^-64 collisions)
+# ---------------------------------------------------------------------------
+
+def minhash_lsh_pairs_sql(sf_dir: str, num_hashes: int = 64, bands: int = 16,
+                          shingle_k: int = 5, threshold: float = 0.5,
+                          seed: int = 7) -> str:
+    from .operators.dedup import _minhash_params, minhash_sig
+
+    a, b = _minhash_params(num_hashes, seed)
+    docs = list(_read_docs(sf_dir))
+    # q_minhash_lsh_pairs unions perturbed copies; the .where runs AFTER
+    # the doc_id rename, so the filter applies to the SHIFTED id
+    all_docs = docs + [
+        (d + 1_000_000, t + " extra trailing tokens here")
+        for d, t in docs
+        if (d + 1_000_000) % 7 == 0
+    ]
+    sigs = {d: minhash_sig(t, a, b, num_hashes, shingle_k) for d, t in all_docs}
+    rpb = num_hashes // bands
+    buckets: dict = {}
+    for d, s in sigs.items():
+        for bnd in range(bands):
+            buckets.setdefault(
+                (bnd, tuple(s[bnd * rpb:(bnd + 1) * rpb])), []
+            ).append(d)
+    pairs: dict = {}
+    for members in buckets.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                x, y = members[i], members[j]
+                ia, ib = (x, y) if x < y else (y, x)
+                if (ia, ib) in pairs:
+                    continue
+                est = sum(
+                    1 for p, q in zip(sigs[x], sigs[y]) if p == q
+                ) / num_hashes
+                if est >= threshold:
+                    pairs[(ia, ib)] = _round_like_spark(est)
+    rows = [(x, y, e) for (x, y), e in sorted(pairs.items())]
+    return _values_sql(rows, ["id_a", "id_b", "est_jaccard"],
+                       ["BIGINT", "BIGINT", "DOUBLE"])
+
+
+def simhash_near_pairs_sql(sf_dir: str, max_hamming: int = 6) -> str:
+    from .operators.dedup import simhash64
+
+    docs = list(_read_docs(sf_dir))
+    all_docs = docs + [
+        (d + 1_000_000, t + " zz")
+        for d, t in docs
+        if (d + 1_000_000) % 11 == 0
+    ]
+    sh = {d: simhash64(t) for d, t in all_docs}
+    mask64 = (1 << 64) - 1
+    buckets: dict = {}
+    for d, s in sh.items():
+        for c in range(4):
+            buckets.setdefault((c, (s >> (16 * c)) & 0xFFFF), []).append(d)
+    pairs: dict = {}
+    for members in buckets.values():
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                x, y = members[i], members[j]
+                ia, ib = (x, y) if x < y else (y, x)
+                if (ia, ib) in pairs:
+                    continue
+                ham = bin((sh[x] ^ sh[y]) & mask64).count("1")
+                if ham <= max_hamming:
+                    pairs[(ia, ib)] = ham
+    rows = [(x, y, h) for (x, y), h in sorted(pairs.items())]
+    return _values_sql(rows, ["id_a", "id_b", "hamming"],
+                       ["BIGINT", "BIGINT", "INT"])
+
+
+# ---------------------------------------------------------------------------
+# synthetic image-table oracles — gen_row(seed, idx) is pure per-row, so
+# every multimodal query is replicable by calling the same per-row
+# functions the mapInPandas stages call
+# ---------------------------------------------------------------------------
+
+def _synth_rows(n: int, seed: int = 42):
+    from .sources.synth import gen_row
+
+    return [gen_row(seed, i) for i in range(n)]
+
+
+def image_verify_sql(n: int = 300, seed: int = 42) -> str:
+    from .images import decode_image, psnr
+    from .images.codecs import encode_image
+
+    rows = []
+    for r in _synth_rows(n, seed):
+        ok = dims = False
+        mean = q = float("nan")
+        try:
+            px = decode_image(bytes(r["bytes"]))
+            ok = True
+            dims = px.shape[0] == r["h"] and px.shape[1] == r["w"]
+            mean = float(px.mean())
+            second = decode_image(encode_image(px, r["fmt"], quality=95))
+            p = psnr(px, second)
+            q = 999.0 if math.isinf(p) else p
+        except (ValueError, NotImplementedError):
+            pass
+        rows.append((
+            r["image_id"], ok, dims,
+            _round_like_spark(mean, 2),
+            (not math.isnan(q)) and q >= 40.0,
+        ))
+    return _values_sql(
+        rows, ["image_id", "decode_ok", "dims_ok", "px_mean", "psnr_ok"],
+        ["VARCHAR", "BOOLEAN", "BOOLEAN", "DOUBLE", "BOOLEAN"],
+    )
+
+
+def image_features_sql(n: int = 200, seed: int = 42) -> str:
+    from .images import decode_image
+
+    rows = []
+    for r in _synth_rows(n, seed):
+        try:
+            px = decode_image(bytes(r["bytes"])).astype(np.float64)
+        except (ValueError, NotImplementedError):
+            rows.append((r["image_id"], None, None, None))
+            continue
+        gray = px.mean(axis=2)
+        rows.append((
+            r["image_id"],
+            _round_like_spark(float(px[:, :, 0].mean()), 2),
+            _round_like_spark(float(px[:, :, 1].mean()), 2),
+            _round_like_spark(float(gray.std()), 2),
+        ))
+    return _values_sql(
+        rows, ["image_id", "mean_r", "mean_g", "std_gray"],
+        ["VARCHAR", "DOUBLE", "DOUBLE", "DOUBLE"],
+    )
+
+
+def video_frame_sample_sql(n: int = 100, seed: int = 42,
+                           every_n: int = 2) -> str:
+    from .operators.image_stage import _fake_video_decoder
+
+    rows = []
+    for r in _synth_rows(n, seed):
+        for idx, px in _fake_video_decoder(bytes(r["bytes"]), r["w"], r["h"]):
+            if idx % every_n:
+                continue
+            rows.append((
+                r["image_id"], idx, px.shape[1], px.shape[0],
+                _round_like_spark(float(px.mean()), 2),
+            ))
+    return _values_sql(
+        rows,
+        ["video_id", "frame_idx", "frame_w", "frame_h", "frame_gray_mean"],
+        ["VARCHAR", "INT", "INT", "INT", "DOUBLE"],
+    )
+
+
+def audio_features_sql(n: int = 150, seed: int = 42) -> str:
+    from .operators.audio_stage import _fake_audio_decoder
+
+    rows = []
+    for r in _synth_rows(n, seed):
+        sr, pcm = _fake_audio_decoder(bytes(r["bytes"]))
+        ns = len(pcm)
+        zc = float(np.mean(np.abs(np.diff(np.signbit(pcm))))) if ns > 1 else 0.0
+        rms = float(np.sqrt(np.mean(pcm ** 2))) if ns else 0.0
+        rows.append((
+            r["image_id"], sr, ns,
+            _round_like_spark(rms), _round_like_spark(zc),
+        ))
+    return _values_sql(
+        rows, ["audio_id", "sample_rate", "n_samples", "rms", "zcr"],
+        ["VARCHAR", "INT", "BIGINT", "DOUBLE", "DOUBLE"],
+    )
+
+
+def phash_dedup_sql(n: int = 400, seed: int = 42) -> str:
+    winners: dict = {}
+    for r in _synth_rows(n, seed):
+        cur = winners.get(r["phash"])
+        if cur is None or r["image_id"] < cur:
+            winners[r["phash"]] = r["image_id"]
+    rows = sorted((img, ph) for ph, img in winners.items())
+    return _values_sql(rows, ["image_id", "phash"], ["VARCHAR", "BIGINT"])
