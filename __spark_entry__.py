@@ -3,10 +3,10 @@
 entry(spark)   — flagship: PII/toxicity scrub + quality filter over the
                  sf0.001 documents table with deterministic PII clauses
                  appended (the engine's core semantics end-to-end).
-queries()      — 41 callables covering the operator families of
+queries()      — 43 callables covering the operator families of
                  SURVEY.md §2 plus the north-rule/training-data
                  additions (see COVERAGE.md for the full map).
-oracle_sql()   — a DuckDB oracle for EVERY query: 25 plain SQL
+oracle_sql()   — a DuckDB oracle for EVERY query: 27 plain SQL
                  equivalents, 16 computed-literal fixture oracles for
                  the model-backed ops (langid, perplexity, minhash,
                  simhash, SRP-LSH, IVF, pair queries, image/audio/video
@@ -515,6 +515,37 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF fan-out (PySpark 4 API surface): doc → sentence rows
+    via SQL LATERAL; oracle runs the identical RE2 pattern in DuckDB.
+    Runs over captions (text + PII clause) so every row genuinely fans
+    out to 2+ sentence rows."""
+    from pii_filter_spark.operators.udtf_ops import split_sentences
+
+    return split_sentences(_captions(spark, sf_dir), text_col="caption")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard verifier on deterministic candidate
+    pairs (each doc_id % 10 == 0 vs a tail-extended copy of itself) —
+    the verification half of the MinHash/SimHash near-dup stack, fully
+    SQL-expressible so the oracle is plain DuckDB list algebra."""
+    from pii_filter_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sel = docs.where(F.col("doc_id") % 10 == 0)
+    copies = sel.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail tokens added here")).alias("text"),
+    )
+    pairs = sel.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1_000_000).alias("id_b"),
+    )
+    out = ngram_jaccard_pairs(pairs, docs.unionByName(copies))
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
 def _emb_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ perturbed copies (+0.5 on component 0, double math so
     the DuckDB oracle reproduces cosines bit-for-bit at 4 decimals)."""
@@ -716,6 +747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash_near_pairs": q_simhash_near_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "sentence_split": q_sentence_split,
         "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
         "bpe_token_totals": q_bpe_token_totals,
@@ -946,6 +979,51 @@ def _static_oracles(scrub_case, type_case, scrub_restored_case) -> dict[str, str
               EXCEPT ALL
               SELECT DISTINCT o_custkey FROM orders
             )
+        """,
+        "sentence_split": f"""
+            WITH s AS (
+              SELECT doc_id,
+                     regexp_extract_all(
+                         text || {_sql_case_clause("doc_id", _PII_CLAUSES)},
+                         '[^.!?]+[.!?]*') AS sents
+              FROM documents
+            )
+            SELECT doc_id, CAST(u.i AS INT) AS sent_idx,
+                   trim(sents[u.i + 1]) AS sentence
+            FROM s, LATERAL unnest(range(0, len(sents))) AS u(i)
+            WHERE trim(sents[u.i + 1]) <> ''
+        """,
+        "ngram_jaccard": r"""
+            WITH norm AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g'), ' ') AS toks
+              FROM documents WHERE doc_id % 10 = 0
+            ), norm_b AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(
+                         text || ' extra tail tokens added here')),
+                         '\s+', ' ', 'g'), ' ') AS toks
+              FROM documents WHERE doc_id % 10 = 0
+            ), ga AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       range(0, greatest(len(toks) - 3, 0) + 1),
+                       i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')
+                     )) AS g
+              FROM norm
+            ), gb AS (
+              SELECT doc_id, list_distinct(list_transform(
+                       range(0, greatest(len(toks) - 3, 0) + 1),
+                       i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')
+                     )) AS g
+              FROM norm_b
+            )
+            SELECT a.doc_id AS id_a, a.doc_id + 1000000 AS id_b,
+                   round(CASE WHEN len(list_distinct(list_concat(a.g, b.g))) > 0
+                         THEN CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                              / len(list_distinct(list_concat(a.g, b.g)))
+                         ELSE 0.0 END, 4) AS jaccard
+            FROM ga a JOIN gb b ON a.doc_id = b.doc_id
         """,
         "bpe_token_totals": r"""
             SELECT source,

@@ -54,3 +54,21 @@ def test_language_id_over_documents(spark, docs):
     out = language_id(docs).collect()
     assert len(out) == docs.count()
     assert all(r["lang_detected"] is not None for r in out)
+
+
+def test_sentence_split_udtf(spark):
+    """Python UDTF fan-out: ordinal = raw match index, empties filtered."""
+    from pii_filter_spark.operators.udtf_ops import split_sentences
+
+    df = spark.createDataFrame(
+        [(1, "Primeira frase. Segunda! Terceira? "), (2, None), (3, "Sem pontuacao")],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_id, r.sent_idx): r.sentence
+            for r in split_sentences(df).collect()}
+    assert rows == {
+        (1, 0): "Primeira frase.",
+        (1, 1): "Segunda!",
+        (1, 2): "Terceira?",
+        (3, 0): "Sem pontuacao",
+    }
