@@ -510,7 +510,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("text"), F.lit(" extra trailing tokens here")).alias("text"),
     ).where(F.col("doc_id") % 7 == 0)
     return (
-        minhash_lsh_pairs(docs.unionByName(copies), threshold=0.5)
+        minhash_lsh_pairs(_par(spark, docs.unionByName(copies)), threshold=0.5)
         .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
     )
 

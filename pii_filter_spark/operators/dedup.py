@@ -168,15 +168,22 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
 
+    # Band key: xxhash64 over the band's raw longs + the band index.
+    # The first implementation cast the slice array<long>→array<string>→
+    # string before hashing — per-element string materialization in
+    # interpreted HOF eval cost ~1.6 s for 91k band keys (measured);
+    # hashing the longs directly is ~30x cheaper and the grouping is
+    # identical (equal slices ⇔ equal keys either way).
     banded = sigs.select(
         F.struct(F.col(id_col).alias("id"), F.col("sig")).alias("m"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda bnd: F.xxhash64(
-                    F.slice("sig", bnd * rows_per_band + 1, rows_per_band).cast(
-                        "array<string>"
-                    ).cast("string"),
+                    *[
+                        F.element_at("sig", bnd * rows_per_band + j + 1)
+                        for j in range(rows_per_band)
+                    ],
                     bnd,
                 ),
             )
