@@ -61,6 +61,13 @@ CASES = [
         "split once; everything stays inside WholeStageCodegen (no Python).",
     ),
     (
+        "sensitive_scrub",
+        "19-category sensitive-topic scrub (round 2): same fused shape as "
+        "the flagship — ONE ArrowEvalPython, pruned ReadSchema; the "
+        "deterministic grammar stage adds no extra plan nodes vs the "
+        "reference's per-row LLM HTTP call.",
+    ),
+    (
         "pii_type_counts",
         "Explode over a UDF array: explode_outer + post-generate filter "
         "keeps ONE ArrowEvalPython — plain explode would push a size()>0 "
