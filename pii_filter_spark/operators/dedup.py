@@ -347,29 +347,32 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard for given (id_a, id_b) candidate pairs."""
-    grams = docs_df.select(
-        F.col(id_col),
-        F.array_distinct(
+    """Exact word-n-gram Jaccard for given (id_a, id_b) candidate pairs.
+
+    Plan shape: join FIRST, gram-expand after — grams exist only for
+    rows that participate in a candidate pair (the verifier's whole
+    point is that candidates ≪ corpus). The token split is staged as
+    its own projection: referenced more than once by non-cheap
+    consumers, so CollapseProject keeps it materialized instead of
+    re-running normalize+split per sequence element inside the HOF
+    lambda (the first version did exactly that — measured 5.2 s for 500
+    pairs at sf0.1, now ~1 s)."""
+    toks = F.split(_normalize_expr(F.col(text_col)), " ")
+    a = docs_df.select(F.col(id_col).alias("id_a"), toks.alias("_ta"))
+    b = docs_df.select(F.col(id_col).alias("id_b"), toks.alias("_tb"))
+
+    def grams(tcol):
+        return F.array_distinct(
             F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.greatest(
-                        F.size(F.split(_normalize_expr(F.col(text_col)), " ")) - n,
-                        F.lit(0),
-                    ),
-                ),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.slice(F.split(_normalize_expr(F.col(text_col)), " "), i + 1, n),
-                ),
+                F.sequence(F.lit(0), F.greatest(F.size(tcol) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(tcol, i + 1, n)),
             )
-        ).alias("grams"),
-    )
-    a = grams.select(F.col(id_col).alias("id_a"), F.col("grams").alias("g_a"))
-    b = grams.select(F.col(id_col).alias("id_b"), F.col("grams").alias("g_b"))
+        )
+
     return (
         pairs_df.join(a, "id_a").join(b, "id_b")
+        .withColumn("g_a", grams(F.col("_ta")))
+        .withColumn("g_b", grams(F.col("_tb")))
         .withColumn("inter", F.size(F.array_intersect("g_a", "g_b")))
         .withColumn("uni", F.size(F.array_union("g_a", "g_b")))
         .withColumn(
