@@ -356,6 +356,30 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json/to_json surface (SURVEY §2.7: the reference's
+    json.loads/dumps SSE payloads map to these built-ins): serialize each
+    event to a JSON document, parse it back with an explicit schema, and
+    aggregate on the PARSED fields — proves the round-trip preserves
+    values, JVM-side end to end."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    doc = F.to_json(F.struct("event_id", "event_type", "user_id", "value"))
+    parsed = ev.select(
+        F.from_json(
+            doc,
+            "event_id bigint, event_type string, user_id bigint, value double",
+        ).alias("e")
+    )
+    return (
+        parsed.groupBy(F.col("e.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("e.value"), 4).alias("total_value"),
+            F.countDistinct("e.user_id").alias("users"),
+        )
+    )
+
+
 def q_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scrub → restore must be identity (reference R1+R3 inverse stage)."""
     from pii_filter_spark.operators.restore_stage import restore_stage
@@ -736,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resume_antijoin": q_resume_antijoin,
         "events_by_type": q_events_by_type,
         "events_windowed": q_events_windowed,
+        "events_json_roundtrip": q_events_json_roundtrip,
         "restore_roundtrip": q_restore_roundtrip,
         "restore_label_cleanup": q_restore_label_cleanup,
         "scrub_golden_f1": q_scrub_golden_f1,
@@ -913,6 +938,13 @@ def _static_oracles(scrub_case, type_case, scrub_restored_case) -> dict[str, str
                    round(SUM(value), 4) AS total_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "events_json_roundtrip": """
+            SELECT event_type, COUNT(*) AS cnt,
+                   round(SUM(value), 4) AS total_value,
+                   COUNT(DISTINCT user_id) AS users
+            FROM events
+            GROUP BY event_type
         """,
         "restore_roundtrip": f"""
             SELECT doc_id,
