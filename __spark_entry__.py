@@ -3,10 +3,10 @@
 entry(spark)   — flagship: PII/toxicity scrub + quality filter over the
                  sf0.001 documents table with deterministic PII clauses
                  appended (the engine's core semantics end-to-end).
-queries()      — 43 callables covering the operator families of
+queries()      — 46 callables covering the operator families of
                  SURVEY.md §2 plus the north-rule/training-data
                  additions (see COVERAGE.md for the full map).
-oracle_sql()   — a DuckDB oracle for EVERY query: 27 plain SQL
+oracle_sql()   — a DuckDB oracle for EVERY query: 30 plain SQL
                  equivalents, 16 computed-literal fixture oracles for
                  the model-backed ops (langid, perplexity, minhash,
                  simhash, SRP-LSH, IVF, pair queries, image/audio/video
@@ -353,6 +353,21 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
             "total_value",
         )
+    )
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (6 h) of the events table: lag-flag +
+    running-sum session index + one aggregation, all native window
+    functions (operators/sessions.py); the streaming twin with
+    cross-batch state is tested in test_streaming."""
+    from pii_filter_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_minutes=360).select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "session_start", "session_end", "n_events", "total_value",
     )
 
 
@@ -761,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_type": q_events_by_type,
         "events_windowed": q_events_windowed,
         "events_json_roundtrip": q_events_json_roundtrip,
+        "event_sessions": q_event_sessions,
         "restore_roundtrip": q_restore_roundtrip,
         "restore_label_cleanup": q_restore_label_cleanup,
         "scrub_golden_f1": q_scrub_golden_f1,
@@ -938,6 +954,29 @@ def _static_oracles(scrub_case, type_case, scrub_restored_case) -> dict[str, str
                    round(SUM(value), 4) AS total_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "event_sessions": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(lag(ts) OVER w) > 21600
+                          THEN 1 ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), idx AS (
+              SELECT user_id, ts, value,
+                     CAST(SUM(ns) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) - 1
+                          AS BIGINT) AS session_idx
+              FROM flagged
+            )
+            SELECT user_id, session_idx,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   COUNT(*) AS n_events,
+                   round(SUM(value), 4) AS total_value
+            FROM idx
+            GROUP BY user_id, session_idx
         """,
         "events_json_roundtrip": """
             SELECT event_type, COUNT(*) AS cnt,

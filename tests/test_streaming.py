@@ -148,3 +148,69 @@ def test_streaming_scrub_pipeline_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert len(got) == 120
+
+
+def test_sessionize_stream_cross_batch_continuity(spark, tmp_path):
+    """Streaming gap-sessionization must MERGE a batch-2 event into the
+    open batch-1 session (cross-batch state), and close sessions only
+    when a later event arrives past the gap."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pii_filter_spark.streaming.sessions import sessionize_stream
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+    m = dt.timedelta(minutes=1)
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    # user 1: two events in batch 1 (one session), batch 2 event 7h later
+    #         closes it and opens a new (unemitted) session
+    def _write(name, rows):
+        df = pd.DataFrame(rows)
+        df["ts"] = df["ts"].astype("datetime64[us]")  # Spark-readable TIMESTAMP(MICROS)
+        df.to_parquet(src / name)
+
+    _write("b1.parquet", {
+        "event_id": [1, 2, 10],
+        "user_id": [1, 1, 2],
+        "ts": [t0, t0 + 10 * m, t0],
+        "value": [1.0, 2.0, 5.0],
+    })
+    _write("b2.parquet", {
+        "event_id": [3, 11, 12],
+        "user_id": [1, 2, 2],
+        "ts": [t0 + 7 * 60 * m, t0 + 10 * m, t0 + 8 * 60 * m],
+        "value": [4.0, 7.0, 9.0],
+    })
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=360, flush_timeout_ms=0)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.total_value)
+        for r in spark.sql("select * from sess_out").collect()
+    }
+    # closed-by-a-later-event sessions MUST be present with exact values:
+    # user 1's batch-1 session, and user 2's session whose +10min event
+    # arrived in batch 2 and MERGED into the open batch-1 state
+    assert (1, t0, t0 + 10 * m, 2, 3.0) in got
+    assert (2, t0, t0 + 10 * m, 2, 12.0) in got
+    # with the idle flush disabled the two still-open sessions are NOT
+    # emitted — output is exactly the closed pair
+    assert got == {
+        (1, t0, t0 + 10 * m, 2, 3.0),
+        (2, t0, t0 + 10 * m, 2, 12.0),
+    }
