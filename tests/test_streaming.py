@@ -267,3 +267,62 @@ def test_transform_with_state_running_totals(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed agg: an event arriving BELOW the watermark in
+    a later micro-batch must not resurrect or alter its finalized window."""
+    import datetime as dt
+
+    import pandas as pd
+
+    t = lambda h, mi: dt.datetime(2024, 1, 1, h, mi)  # noqa: E731
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    def _write(name, rows):
+        df = pd.DataFrame(rows)
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        df.to_parquet(src / name)
+
+    # batch 1: two 10:xx events + a 12:00 event that advances the
+    # watermark to 11:30
+    _write("b1.parquet", {"event_id": [1, 2, 3],
+                          "ts": [t(10, 0), t(10, 20), t(12, 0)],
+                          "value": [1.0, 1.0, 1.0]})
+    # batch 2: on-time event; during this batch the watermark (11:30)
+    # finalizes and emits the [10:00,11:00) window
+    _write("b2.parquet", {"event_id": [4], "ts": [t(12, 5)],
+                          "value": [1.0]})
+    # batch 3: a LATE 10:15 event — its window was already emitted and
+    # evicted; accepting it would re-emit the window and break append
+    # semantics, so the watermark filter must drop it
+    _write("b3.parquet", {"event_id": [5], "ts": [t(10, 15)],
+                          "value": [1.0]})
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "cnt")
+        .writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "late_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from late_out").collect()
+    got = {(r.ws, r.cnt) for r in rows}
+    # exactly ONE emission of the finalized 10:00 window with the two
+    # on-time events; the late event 5 was discarded (no re-emission,
+    # no new [10,11) window), and the un-finalized 12:00 window is not
+    # emitted in append mode
+    assert got == {(t(10, 0), 2)}
+    assert len(rows) == 1

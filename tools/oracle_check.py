@@ -49,6 +49,12 @@ def value_hash(rows, cols):
 
 
 def main(sf_dir: str, only=None):
+    import os
+
+    # fixture oracles (oracle_support.py) must recompute from the SAME
+    # parquet dir this check runs the Spark queries on
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
+
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entrymod
