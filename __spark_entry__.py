@@ -3,11 +3,11 @@
 entry(spark)   — flagship: PII/toxicity scrub + quality filter over the
                  sf0.001 documents table with deterministic PII clauses
                  appended (the engine's core semantics end-to-end).
-queries()      — 46 callables covering the operator families of
+queries()      — 47 callables covering the operator families of
                  SURVEY.md §2 plus the north-rule/training-data
                  additions (see COVERAGE.md for the full map).
 oracle_sql()   — a DuckDB oracle for EVERY query: 30 plain SQL
-                 equivalents, 16 computed-literal fixture oracles for
+                 equivalents, 17 computed-literal fixture oracles for
                  the model-backed ops (langid, perplexity, minhash,
                  simhash, SRP-LSH, IVF, pair queries, image/audio/video
                  stages) — see pii_filter_spark/oracle_support.py.
@@ -554,6 +554,24 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → CLUSTERS → survivors: iterative min-label connected
+    components over the minhash near-dup pair graph (pure DataFrame
+    joins, operators/components.py); the oracle closes the same graph
+    with an independent path-compressed union-find."""
+    from pii_filter_spark.operators.components import dedup_clusters
+    from pii_filter_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra trailing tokens here")).alias("text"),
+    ).where(F.col("doc_id") % 7 == 0)
+    union = _par(spark, docs.unionByName(copies))
+    pairs = minhash_lsh_pairs(union, threshold=0.5)
+    return dedup_clusters(union, pairs)
+
+
 def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF fan-out (PySpark 4 API surface): doc → sentence rows
     via SQL LATERAL; oracle runs the identical RE2 pattern in DuckDB.
@@ -790,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "sentence_split": q_sentence_split,
+        "dedup_clusters": q_dedup_clusters,
         "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
         "bpe_token_totals": q_bpe_token_totals,
@@ -1133,6 +1152,7 @@ def _fixture_oracles() -> dict[str, str]:
         ("quality_full", lambda sf: osup.quality_full_sql(sf, _PII_CLAUSES)),
         ("simhash", osup.simhash_sql),
         ("minhash_lsh_pairs", osup.minhash_lsh_pairs_sql),
+        ("dedup_clusters", osup.dedup_clusters_sql),
         ("simhash_near_pairs", osup.simhash_near_pairs_sql),
         ("image_verify", lambda sf: osup.image_verify_sql()),
         ("image_features", lambda sf: osup.image_features_sql()),

@@ -280,9 +280,10 @@ def quality_full_sql(sf_dir: str, pii_clauses: Sequence[str]) -> str:
 # chunk value, modulo ~2^-64 collisions)
 # ---------------------------------------------------------------------------
 
-def minhash_lsh_pairs_sql(sf_dir: str, num_hashes: int = 64, bands: int = 16,
-                          shingle_k: int = 5, threshold: float = 0.5,
-                          seed: int = 7) -> str:
+def _minhash_pairs(sf_dir: str, num_hashes: int = 64, bands: int = 16,
+                   shingle_k: int = 5, threshold: float = 0.5,
+                   seed: int = 7):
+    """(pairs dict, all doc ids) — shared by the pairs and cluster oracles."""
     from .operators.dedup import _minhash_params, minhash_sig
 
     a, b = _minhash_params(num_hashes, seed)
@@ -315,9 +316,52 @@ def minhash_lsh_pairs_sql(sf_dir: str, num_hashes: int = 64, bands: int = 16,
                 ) / num_hashes
                 if est >= threshold:
                     pairs[(ia, ib)] = _round_like_spark(est)
+    return pairs, [d for d, _ in all_docs]
+
+
+def minhash_lsh_pairs_sql(sf_dir: str) -> str:
+    pairs, _ = _minhash_pairs(sf_dir)
     rows = [(x, y, e) for (x, y), e in sorted(pairs.items())]
     return _values_sql(rows, ["id_a", "id_b", "est_jaccard"],
                        ["BIGINT", "BIGINT", "DOUBLE"])
+
+
+def dedup_clusters_sql(sf_dir: str) -> str:
+    """Union-find over the replicated minhash pairs → cluster labels.
+
+    An INDEPENDENT transitive closure (path-compressed union-find) of
+    the same pair graph the Spark side closes with iterative min-label
+    propagation — the strongest cross-check an iterative distributed
+    algorithm can get."""
+    pairs, all_ids = _minhash_pairs(sf_dir)
+    parent = {i: i for i in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (x, y) in pairs:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    # representative = min id per component: union by min above keeps
+    # the root minimal, but verify via a second pass for safety
+    comp_min: dict = {}
+    for i in all_ids:
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    rows = sorted(
+        (i, comp_min[find(i)], i == comp_min[find(i)]) for i in all_ids
+    )
+    return _values_sql(
+        rows, ["doc_id", "cluster_id", "is_survivor"],
+        ["BIGINT", "BIGINT", "BOOLEAN"],
+    )
 
 
 def simhash_near_pairs_sql(sf_dir: str, max_hamming: int = 6) -> str:

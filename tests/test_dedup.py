@@ -107,3 +107,43 @@ def test_char_shingles_match_naive_polynomial():
             naive.add(int(h & np.uint64(_MAX_SHINGLE_HASH)))
         got = _char_shingles(text, k)
         assert sorted(naive) == got.tolist()
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Min-label propagation must close transitive chains (a-b-c-d links
+    one component even though a and d never share an edge)."""
+    from pii_filter_spark.operators.components import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain -> component 1
+         (10, 11), (11, 10),           # duplicate/reversed edges collapse
+         (20, 21), (22, 21)],          # star -> component 20
+        "id_a long, id_b long",
+    )
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21,
+                                                 22, 99]], "doc_id long")
+    out = {r.doc_id: (r.cluster_id, r.is_survivor)
+           for r in dedup_clusters(docs, edges).collect()}
+    assert out[99] == (99, True)       # singleton: its own survivor
+    assert out[4] == (1, False)
+    assert sum(1 for c, s in out.values() if s) == 4  # one survivor/cluster
+
+
+def test_connected_components_raises_on_iteration_cap(spark):
+    from pii_filter_spark.operators.components import connected_components
+
+    # a 5-chain needs >1 iteration; cap at 1 must raise, not silently
+    # return a half-contracted labeling
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "id_a long, id_b long"
+    )
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
