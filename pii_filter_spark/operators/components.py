@@ -57,6 +57,8 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # carry the previous label through the projection so convergence
+        # is a filter on the SAME materialized frame, not another join
         updated = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
@@ -64,17 +66,14 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce("nbr_min", F.col("component"))
                 ).alias("component"),
+                F.col("component").alias("_prev"),
             )
             .localCheckpoint()
         )
         changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .where(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
+            updated.where(F.col("component") != F.col("_prev")).limit(1).count()
         )
-        labels = updated
+        labels = updated.drop("_prev")
         if changed == 0:
             return labels
     raise RuntimeError(
