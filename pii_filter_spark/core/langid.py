@@ -146,11 +146,16 @@ def detect_language(text: str) -> str:
         return UND
     # Script check first: CJK text has near-zero trigram overlap with any
     # small seed profile, but the script itself is decisive evidence.
-    letters = [c for c in text if c.isalpha()]
-    if letters:
-        cjk = sum(1 for c in letters if "一" <= c <= "鿿")
-        if cjk / len(letters) > 0.30:
-            return "zh"
+    # Gate the O(n) per-char python scan behind max(text): a C-speed pass
+    # that can only exceed U+4E00 if a CJK (or higher, e.g. emoji)
+    # codepoint exists — the overwhelmingly common Latin-text case skips
+    # the scan entirely (measured ~45 us/row of the stage's 110).
+    if text and max(text) >= "一":
+        letters = [c for c in text if c.isalpha()]
+        if letters:
+            cjk = sum(1 for c in letters if "一" <= c <= "鿿")
+            if cjk / len(letters) > 0.30:
+                return "zh"
     grams = _trigrams(text)
     if not grams:
         return UND
