@@ -3,10 +3,10 @@
 entry(spark)   — flagship: PII/toxicity scrub + quality filter over the
                  sf0.001 documents table with deterministic PII clauses
                  appended (the engine's core semantics end-to-end).
-queries()      — 47 callables covering the operator families of
+queries()      — 45 callables covering the operator families of
                  SURVEY.md §2 plus the north-rule/training-data
                  additions (see COVERAGE.md for the full map).
-oracle_sql()   — a DuckDB oracle for EVERY query: 30 plain SQL
+oracle_sql()   — a DuckDB oracle for EVERY query: 28 plain SQL
                  equivalents, 17 computed-literal fixture oracles for
                  the model-backed ops (langid, perplexity, minhash,
                  simhash, SRP-LSH, IVF, pair queries, image/audio/video
