@@ -1126,6 +1126,9 @@ def _static_oracles(scrub_case, type_case, scrub_restored_case) -> dict[str, str
     }
 
 
+_FIXTURE_CACHE: dict | None = None
+
+
 def _fixture_oracles() -> dict[str, str]:
     """Computed-literal oracles for the deterministic model-backed queries
     (pii_filter_spark/oracle_support.py). The driver runs correctness at
@@ -1142,7 +1145,11 @@ def _fixture_oracles() -> dict[str, str]:
     same modules.
     """
     import os
+
+    global _FIXTURE_CACHE
     sf = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    if _FIXTURE_CACHE is not None and _FIXTURE_CACHE.get("_sf") == sf:
+        return {k: v for k, v in _FIXTURE_CACHE.items() if k != "_sf"}
     out: dict[str, str] = {}
     if not os.path.isdir(sf):
         return out
@@ -1170,4 +1177,6 @@ def _fixture_oracles() -> dict[str, str]:
             out[name] = gen(sf)
         except Exception:  # noqa: BLE001 — degrade to rows-only
             pass
+    _FIXTURE_CACHE = dict(out)
+    _FIXTURE_CACHE["_sf"] = sf
     return out
