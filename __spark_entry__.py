@@ -3,10 +3,10 @@
 entry(spark)   — flagship: PII/toxicity scrub + quality filter over the
                  sf0.001 documents table with deterministic PII clauses
                  appended (the engine's core semantics end-to-end).
-queries()      — 45 callables covering the operator families of
+queries()      — 46 callables covering the operator families of
                  SURVEY.md §2 plus the north-rule/training-data
                  additions (see COVERAGE.md for the full map).
-oracle_sql()   — a DuckDB oracle for EVERY query: 28 plain SQL
+oracle_sql()   — a DuckDB oracle for EVERY query: 29 plain SQL
                  equivalents, 17 computed-literal fixture oracles for
                  the model-backed ops (langid, perplexity, minhash,
                  simhash, SRP-LSH, IVF, pair queries, image/audio/video
@@ -554,6 +554,15 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota sampling (training-data mixing):
+    first 20 docs per lang in md5(doc_id) order — portable-hash ordering
+    so DuckDB reproduces the exact selection."""
+    from pii_filter_spark.operators.textstats import stratified_take
+
+    return stratified_take(_docs(spark, sf_dir), "lang", 20)
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs → CLUSTERS → survivors: iterative min-label connected
     components over the minhash near-dup pair graph (pure DataFrame
@@ -809,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "sentence_split": q_sentence_split,
         "dedup_clusters": q_dedup_clusters,
+        "stratified_sample": q_stratified_sample,
         "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
         "bpe_token_totals": q_bpe_token_totals,
@@ -1082,6 +1092,16 @@ def _static_oracles(scrub_case, type_case, scrub_restored_case) -> dict[str, str
                    trim(sents[u.i + 1]) AS sentence
             FROM s, LATERAL unnest(range(0, len(sents))) AS u(i)
             WHERE trim(sents[u.i + 1]) <> ''
+        """,
+        "stratified_sample": """
+            SELECT lang, doc_id, sample_rank FROM (
+              SELECT lang, doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS sample_rank
+              FROM documents
+            ) WHERE sample_rank <= 20
         """,
         "ngram_jaccard": r"""
             WITH norm AS (

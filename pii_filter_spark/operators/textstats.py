@@ -92,3 +92,27 @@ def perplexity_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     return df.select(
         F.col(id_col), F.round(_ppl(F.col(text_col)), 4).alias("ppl")
     )
+
+
+def stratified_take(
+    df: DataFrame,
+    stratum_col: str,
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified subsample: the first n rows per stratum
+    in md5(id)-order — the data-mixing/curation shape (cap each language
+    / source / quality bucket at a quota) with cluster-invariant row
+    selection. md5 over the stringified id gives an order-stable,
+    engine-portable pseudo-random permutation (same expression exists in
+    DuckDB, so the oracle is plain SQL — unlike xxhash64), and the
+    window is one hash-partition shuffle per stratum; no global sort."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(stratum_col).orderBy(h, id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_stratum)
+        .select(stratum_col, id_col, F.col("_rn").alias("sample_rank"))
+    )

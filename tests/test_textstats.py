@@ -72,3 +72,25 @@ def test_sentence_split_udtf(spark):
         (1, 2): "Terceira?",
         (3, 0): "Sem pontuacao",
     }
+
+
+def test_stratified_take_deterministic_quota(spark):
+    from pii_filter_spark.operators.textstats import stratified_take
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    out = stratified_take(df, "lang", 5)
+    rows = out.collect()
+    by_stratum = {}
+    for r in rows:
+        by_stratum.setdefault(r.lang, []).append((r.sample_rank, r.doc_id))
+    assert set(by_stratum) == {"a", "b"}
+    assert all(len(v) == 5 for v in by_stratum.values())
+    assert all(sorted(x for x, _ in v) == [1, 2, 3, 4, 5]
+               for v in by_stratum.values())
+    # deterministic across partition layouts
+    again = {(r.lang, r.sample_rank, r.doc_id)
+             for r in stratified_take(df.repartition(7), "lang", 5).collect()}
+    assert again == {(r.lang, r.sample_rank, r.doc_id) for r in rows}
