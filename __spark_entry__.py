@@ -3,10 +3,10 @@
 entry(spark)   — flagship: PII/toxicity scrub + quality filter over the
                  sf0.001 documents table with deterministic PII clauses
                  appended (the engine's core semantics end-to-end).
-queries()      — 46 callables covering the operator families of
+queries()      — 47 callables covering the operator families of
                  SURVEY.md §2 plus the north-rule/training-data
                  additions (see COVERAGE.md for the full map).
-oracle_sql()   — a DuckDB oracle for EVERY query: 29 plain SQL
+oracle_sql()   — a DuckDB oracle for EVERY query: 30 plain SQL
                  equivalents, 17 computed-literal fixture oracles for
                  the model-backed ops (langid, perplexity, minhash,
                  simhash, SRP-LSH, IVF, pair queries, image/audio/video
@@ -554,6 +554,16 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (order-statistics estimator) over a
+    PORTABLE md5-prefix hash — unlike HLL registers, bit-reproducible in
+    DuckDB, so the sketch itself is oracle-checked exactly."""
+    from pii_filter_spark.operators.sketch import kmv_distinct
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return kmv_distinct(ev, "event_type", "user_id", k=64)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language quota sampling (training-data mixing):
     first 20 docs per lang in md5(doc_id) order — portable-hash ordering
@@ -819,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_split": q_sentence_split,
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
+        "kmv_distinct_users": q_kmv_distinct_users,
         "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
         "bpe_token_totals": q_bpe_token_totals,
@@ -1092,6 +1103,30 @@ def _static_oracles(scrub_case, type_case, scrub_restored_case) -> dict[str, str
                    trim(sents[u.i + 1]) AS sentence
             FROM s, LATERAL unnest(range(0, len(sents))) AS u(i)
             WHERE trim(sents[u.i + 1]) <> ''
+        """,
+        "kmv_distinct_users": """
+            WITH hashed AS (
+              SELECT DISTINCT event_type,
+                     CAST(CAST(concat('0x',
+                          substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                          AS UBIGINT) AS DOUBLE)
+                       / 1152921504606846976.0 AS u
+              FROM events
+            ), topk AS (
+              SELECT event_type, u,
+                     row_number() OVER (PARTITION BY event_type ORDER BY u)
+                       AS rn
+              FROM hashed
+            ), agg AS (
+              SELECT event_type, COUNT(*) AS n_hashes, max(u) AS kth_min
+              FROM topk WHERE rn <= 64 GROUP BY event_type
+            )
+            SELECT event_type, n_hashes,
+                   round(kth_min, 8) AS kth_min,
+                   round(CASE WHEN n_hashes < 64
+                         THEN CAST(n_hashes AS DOUBLE)
+                         ELSE 63.0 / kth_min END, 4) AS kmv_estimate
+            FROM agg
         """,
         "stratified_sample": """
             SELECT lang, doc_id, sample_rank FROM (
