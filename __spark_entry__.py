@@ -482,10 +482,15 @@ def q_image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pii_filter_spark.sources.synth import build_input_table
 
     imgs = build_input_table(spark, 300, seed=42, num_partitions=8)
+    # NaN psnr (decode failure) must be False, not Spark's NaN-is-largest
+    # True — matches the fixture oracle's (not isnan) and (>= 40) check.
     return verify_images(imgs).select(
         "image_id", "decode_ok", "dims_ok",
         F.round("px_mean", 2).alias("px_mean"),
-        (F.col("reencode_psnr") >= 40.0).alias("psnr_ok"),
+        F.coalesce(
+            (~F.isnan("reencode_psnr")) & (F.col("reencode_psnr") >= 40.0),
+            F.lit(False),
+        ).alias("psnr_ok"),
     )
 
 
@@ -702,14 +707,19 @@ def q_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc minhash signature, projected to scalar columns: the driver's
-    canonicalizer pandas-sorts every column, and array<long> cells are
-    unhashable there — so explode sig to (doc_id, hash_idx, sig_value)."""
+    """Per-doc minhash signature, projected to one scalar column per hash
+    (h00..h31): the driver's canonicalizer pandas-sorts every column and
+    array<long> cells are unhashable there, but a row fan-out
+    (posexplode to (doc_id, hash_idx, value)) costs a 32× Generate +
+    exchange for pure driver-contract reasons — round-2 VERDICT measured
+    it at 3.8× the round-1 time. Scalar projection carries identical
+    information with no fan-out and no extra shuffle."""
     from pii_filter_spark.operators.dedup import minhash_signatures
 
     sigs = minhash_signatures(_par(spark, _docs(spark, sf_dir)), num_hashes=32)
     return sigs.select(
-        "doc_id", F.posexplode("sig").alias("hash_idx", "sig_value")
+        "doc_id",
+        *[F.element_at("sig", i + 1).alias(f"h{i:02d}") for i in range(32)],
     )
 
 
@@ -1230,8 +1240,16 @@ def _fixture_oracles() -> dict[str, str]:
     ]:
         try:
             out[name] = gen(sf)
-        except Exception:  # noqa: BLE001 — degrade to rows-only
-            pass
+        except Exception as e:  # noqa: BLE001 — degrade to rows-only
+            import sys
+            import traceback
+
+            print(
+                f"[fixture-oracle] {name}: degraded to rows-only check "
+                f"({type(e).__name__}: {e})",
+                file=sys.stderr,
+            )
+            traceback.print_exc(file=sys.stderr)
     _FIXTURE_CACHE = dict(out)
     _FIXTURE_CACHE["_sf"] = sf
     return out

@@ -44,6 +44,64 @@ def _normalize_expr(col):
     return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
 
 
+# Degenerate-bucket guard shared by every LSH pair generator (minhash,
+# simhash, SRP embedding). At 10^12 rows, boilerplate-identical or
+# near-empty content collapses into a handful of buckets; without a cap a
+# single task materializes an O(m^2) pair array. Buckets above this size
+# are rerouted through a linear star expansion instead (see
+# _bucket_pair_expansion). The default is far above any bucket a genuine
+# near-dup corpus produces (bucket = docs agreeing on a whole signature
+# band), so results are unchanged except under adversarial pile-ups.
+DEFAULT_MAX_BUCKET = 2048
+
+
+def _bucket_pair_expansion(members, make_pair, keep, pair_cols, max_bucket_size):
+    """Expand each bucket's member array `ms` into candidate pairs.
+
+    Buckets at or under `max_bucket_size` get the exact i<j quadratic
+    expansion (the normal case: LSH buckets are tiny on real near-dup
+    data). Oversized buckets — boilerplate/empty-content collisions where
+    one task would otherwise do an O(m^2) in-array expansion — are
+    rerouted to a STAR expansion: the min-id member pairs against every
+    other member, O(m) pairs. Every true duplicate stays reachable from
+    the bucket representative (connected components still merge the whole
+    cluster and survivor selection is unchanged); only pair EXHAUSTIVENESS
+    inside a pathological bucket is traded for bounded work. The sorted
+    array and its head are staged as projections — referencing
+    array_sort(...) inside the HOF lambda would re-sort per element
+    (Catalyst does not hoist loop-invariant subexpressions out of
+    lambdas).
+    """
+    big = F.size("ms") > max_bucket_size
+    staged = (
+        members.withColumn("_srt", F.when(big, F.array_sort("ms")))
+        .withColumn("_x0", F.element_at("_srt", 1))
+    )
+    quad = F.flatten(
+        F.transform(
+            "ms",
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice("ms", i + 2, F.size("ms")), lambda y: make_pair(x, y)
+                ),
+                keep,
+            ),
+        )
+    )
+    star = F.filter(
+        F.transform(
+            F.slice("_srt", 2, F.size("_srt")),
+            lambda y: make_pair(F.col("_x0"), y),
+        ),
+        keep,
+    )
+    return (
+        staged.select(F.explode(F.when(big, star).otherwise(quad)).alias("p"))
+        .select("p.*")
+        .dropDuplicates(pair_cols)
+    )
+
+
 # --------------------------------------------------------------------------
 # exact + by-key
 # --------------------------------------------------------------------------
@@ -154,19 +212,25 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     threshold: float = 0.7,
     seed: int = 7,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b, est_jaccard >= threshold).
 
-    Plan shape: sig UDF (evaluated ONCE) → explode bands → groupBy
-    (band, bucket) collect_list (one shuffle, map-side combined) →
-    in-array pair expansion via nested transform (no self-join, so the
-    signature UDF isn't re-evaluated per join side) → distinct pairs →
-    signature-agreement estimate. No all-pairs join ever materializes;
-    a pathological bucket (all-identical docs) is the only quadratic
-    spot, which is inherent to LSH.
+    Plan shape: sig UDF (evaluated ONCE) → degenerate-signature filter →
+    explode bands → groupBy (band, bucket) collect_list (one shuffle,
+    map-side combined) → in-array pair expansion via nested transform (no
+    self-join, so the signature UDF isn't re-evaluated per join side) →
+    distinct pairs → signature-agreement estimate. No all-pairs join ever
+    materializes; a pathological bucket (boilerplate-identical docs) is
+    capped by `max_bucket_size` with a linear star reroute
+    (_bucket_pair_expansion). Empty/whitespace docs hash to the all-zero
+    signature — no shingle content, so "similarity" among them is
+    meaningless; they are filtered before banding (handle exact empties
+    via dedup_exact) instead of piling 10^9 rows into one bucket per band.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
+    sigs = sigs.where(F.exists("sig", lambda v: v != F.lit(0)))
 
     # Band key: xxhash64 over the band's raw longs + the band index.
     # The first implementation cast the slice array<long>→array<string>→
@@ -209,29 +273,20 @@ def minhash_lsh_pairs(
             / F.lit(num_hashes)
         )
 
-    combos = members.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ms",
-                    lambda x, i: F.filter(
-                        F.transform(
-                            F.slice("ms", i + 2, F.size("ms")),
-                            lambda y: F.struct(
-                                F.when(x["id"] < y["id"], x["id"])
-                                .otherwise(y["id"]).alias("id_a"),
-                                F.when(x["id"] < y["id"], y["id"])
-                                .otherwise(x["id"]).alias("id_b"),
-                                _est(x, y).alias("est_jaccard"),
-                            ),
-                        ),
-                        lambda p: p["est_jaccard"] >= threshold,
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.*")
-    return combos.dropDuplicates(["id_a", "id_b"])
+    def _pair(x, y):
+        return F.struct(
+            F.when(x["id"] < y["id"], x["id"]).otherwise(y["id"]).alias("id_a"),
+            F.when(x["id"] < y["id"], y["id"]).otherwise(x["id"]).alias("id_b"),
+            _est(x, y).alias("est_jaccard"),
+        )
+
+    return _bucket_pair_expansion(
+        members,
+        _pair,
+        lambda p: p["est_jaccard"] >= threshold,
+        ["id_a", "id_b"],
+        max_bucket_size,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -284,12 +339,15 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs by simhash: band 64 bits into 4x16-bit chunks (any pair
     within hamming<=3 of 4 chunks must agree on >=1 chunk), bucket by
     chunk value, in-array pair expansion (single simhash evaluation, no
-    self-join), exact hamming verify via bit_count(xor)."""
-    sims = simhash_column(df, text_col, id_col)
+    self-join), exact hamming verify via bit_count(xor). Empty/token-less
+    docs (simhash 0) are filtered before chunking and oversized buckets
+    take the linear star reroute — see _bucket_pair_expansion."""
+    sims = simhash_column(df, text_col, id_col).where(F.col("simhash") != 0)
     chunks = sims.select(
         F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")).alias("m"),
         F.posexplode(
@@ -306,33 +364,19 @@ def simhash_near_pairs(
         .agg(F.collect_list("m").alias("ms"))
         .where(F.size("ms") > 1)
     )
-    return (
-        members.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ms",
-                        lambda x, i: F.filter(
-                            F.transform(
-                                F.slice("ms", i + 2, F.size("ms")),
-                                lambda y: F.struct(
-                                    F.when(x["id"] < y["id"], x["id"])
-                                    .otherwise(y["id"]).alias("id_a"),
-                                    F.when(x["id"] < y["id"], y["id"])
-                                    .otherwise(x["id"]).alias("id_b"),
-                                    F.bit_count(
-                                        x["sh"].bitwiseXOR(y["sh"])
-                                    ).alias("hamming"),
-                                ),
-                            ),
-                            lambda p: p["hamming"] <= max_hamming,
-                        ),
-                    )
-                )
-            ).alias("p")
+    def _pair(x, y):
+        return F.struct(
+            F.when(x["id"] < y["id"], x["id"]).otherwise(y["id"]).alias("id_a"),
+            F.when(x["id"] < y["id"], y["id"]).otherwise(x["id"]).alias("id_b"),
+            F.bit_count(x["sh"].bitwiseXOR(y["sh"])).alias("hamming"),
         )
-        .select("p.*")
-        .dropDuplicates(["id_a", "id_b"])
+
+    return _bucket_pair_expansion(
+        members,
+        _pair,
+        lambda p: p["hamming"] <= max_hamming,
+        ["id_a", "id_b"],
+        max_bucket_size,
     )
 
 

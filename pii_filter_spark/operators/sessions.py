@@ -37,9 +37,18 @@ def sessionize(
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
     gap_s = gap_minutes * 60
     prev_ts = F.lag(ts_col).over(w)
+    # Interval comparison keeps sub-second precision: unix_timestamp()
+    # truncates to seconds, which would disagree with the fractional-epoch
+    # DuckDB oracle and the streaming twin (total_seconds()) for gaps
+    # landing in (gap, gap+1) s on microsecond timestamps. Timestamp
+    # subtraction works for both TIMESTAMP and TIMESTAMP_NTZ (a double
+    # cast does not) and involves no timezone.
     new_session = (
         prev_ts.isNull()
-        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts) > gap_s)
+        | (
+            (F.col(ts_col) - prev_ts)
+            > F.make_dt_interval(secs=F.lit(float(gap_s)))
+        )
     ).cast("int")
     with_idx = df.withColumn(
         "session_idx",

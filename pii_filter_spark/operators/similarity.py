@@ -194,12 +194,17 @@ def cosine_near_pairs_lsh(
     id_col: str = "vec_id",
     seed: int = 31,
     dim: int = 64,
+    max_bucket_size: int = 2048,
 ) -> DataFrame:
     """Scale path: SRP-signature chunk bucketing (any pair of vectors at
     angle <= theta agrees on a whole chunk with high probability), bucket
     collect_list, in-array pair expansion with exact cosine verification —
     same no-self-join shape as minhash_lsh_pairs/simhash_near_pairs, so
     the signature UDF runs once and only verified pairs leave the task.
+    Buckets above `max_bucket_size` (identical/boilerplate embeddings
+    piling into one SRP chunk value at 10^12-row scale) take the linear
+    star reroute instead of the quadratic expansion — see
+    dedup._bucket_pair_expansion.
 
     The norm is computed ONCE per row as a struct field (an O(d)
     aggregate); normalizing inside a transform lambda instead would
@@ -207,6 +212,7 @@ def cosine_near_pairs_lsh(
     loop-invariant subexpressions out of HOF lambdas). Zero-norm vectors
     are dropped up front: they have no cosine direction and would
     otherwise emit NaN pairs silently."""
+    from .dedup import _bucket_pair_expansion
     bits_per = planes // chunks
     mask = (1 << bits_per) - 1
     sig_udf = srp_signature_udf(dim, planes, seed)
@@ -242,31 +248,19 @@ def cosine_near_pairs_lsh(
             lambda acc, v: acc + v,
         ) / (x["nrm"] * y["nrm"])
 
-    return (
-        members.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ms",
-                        lambda x, i: F.filter(
-                            F.transform(
-                                F.slice("ms", i + 2, F.size("ms")),
-                                lambda y: F.struct(
-                                    F.when(x["id"] < y["id"], x["id"])
-                                    .otherwise(y["id"]).alias("id_a"),
-                                    F.when(x["id"] < y["id"], y["id"])
-                                    .otherwise(x["id"]).alias("id_b"),
-                                    _cos(x, y).alias("cos_sim"),
-                                ),
-                            ),
-                            lambda p: p["cos_sim"] >= threshold,
-                        ),
-                    )
-                )
-            ).alias("p")
+    def _pair(x, y):
+        return F.struct(
+            F.when(x["id"] < y["id"], x["id"]).otherwise(y["id"]).alias("id_a"),
+            F.when(x["id"] < y["id"], y["id"]).otherwise(x["id"]).alias("id_b"),
+            _cos(x, y).alias("cos_sim"),
         )
-        .select("p.*")
-        .dropDuplicates(["id_a", "id_b"])
+
+    return _bucket_pair_expansion(
+        members,
+        _pair,
+        lambda p: p["cos_sim"] >= threshold,
+        ["id_a", "id_b"],
+        max_bucket_size,
     )
 
 

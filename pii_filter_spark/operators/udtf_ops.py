@@ -42,7 +42,12 @@ def split_sentences(df: DataFrame, id_col: str = "doc_id",
     """Apply the UDTF via SQL LATERAL over an arbitrary input frame."""
     spark = df.sparkSession
     spark.udtf.register("sentence_split", SentenceSplit)
-    view = f"_udtf_in_{abs(hash((id_col, text_col))) % 10_000}"
+    # View name from the sanitized column names, NOT builtin hash():
+    # hash() is salted per process and collision-prone mod 10k, so two
+    # split_sentences calls with different column pairs could share (and
+    # overwrite) one global temp view.
+    safe = re.sub(r"[^A-Za-z0-9_]", "_", f"{id_col}__{text_col}")
+    view = f"_udtf_in_{safe}"
     df.createOrReplaceTempView(view)
     return spark.sql(
         f"SELECT s.doc_id, s.sent_idx, s.sentence "

@@ -65,9 +65,21 @@ def _values_sql(rows: List[tuple], cols: List[str], types: List[str]) -> str:
         if isinstance(v, str):
             return "'" + v.replace("'", "''") + "'"
         if isinstance(v, float):
+            # bare nan/inf tokens are not parseable DuckDB literals
+            if v != v:
+                return "'NaN'::DOUBLE"
+            if v == float("inf"):
+                return "'Infinity'::DOUBLE"
+            if v == float("-inf"):
+                return "'-Infinity'::DOUBLE"
             return repr(v)
         return str(v)
 
+    if not rows:  # 'VALUES\n\n' would be a parse error
+        empty = ", ".join(
+            f"CAST(NULL AS {t}) AS {c}" for c, t in zip(cols, types)
+        )
+        return f"SELECT {empty} WHERE FALSE"
     body = ",\n".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
     casts = ", ".join(
         f"CAST({c} AS {t}) AS {c}" for c, t in zip(cols, types)
@@ -126,16 +138,17 @@ def perplexity_sql(sf_dir: str) -> str:
 
 def minhash_sql(sf_dir: str, num_hashes: int = 32, shingle_k: int = 5,
                 seed: int = 7) -> str:
+    """One row per doc, one scalar column per hash (h00..h31) — mirrors
+    q_minhash_signatures' fan-out-free projection."""
     from .operators.dedup import _minhash_params, minhash_sig
 
     a, b = _minhash_params(num_hashes, seed)
-    rows = []
-    for d, t in _read_docs(sf_dir):
-        for i, v in enumerate(minhash_sig(t, a, b, num_hashes, shingle_k)):
-            rows.append((d, i, v))
-    return _values_sql(
-        rows, ["doc_id", "hash_idx", "sig_value"], ["BIGINT", "INT", "BIGINT"]
-    )
+    rows = [
+        (d, *minhash_sig(t, a, b, num_hashes, shingle_k))
+        for d, t in _read_docs(sf_dir)
+    ]
+    cols = ["doc_id"] + [f"h{i:02d}" for i in range(num_hashes)]
+    return _values_sql(rows, cols, ["BIGINT"] * (num_hashes + 1))
 
 
 # ---------------------------------------------------------------------------
@@ -235,6 +248,7 @@ def emb_near_pairs_lsh_sql(sf_dir: str, threshold: float = 0.85,
             buckets.setdefault(key, []).append(i)
     pairs = {}
     for members in buckets.values():
+        assert len(members) <= 2048, "fixture bucket exceeds LSH cap"
         for ai in range(len(members)):
             for bi in range(ai + 1, len(members)):
                 x, y = members[ai], members[bi]
@@ -299,12 +313,18 @@ def _minhash_pairs(sf_dir: str, num_hashes: int = 64, bands: int = 16,
     rpb = num_hashes // bands
     buckets: dict = {}
     for d, s in sigs.items():
+        if not any(s):  # degenerate (empty/whitespace doc) — Spark filters too
+            continue
         for bnd in range(bands):
             buckets.setdefault(
                 (bnd, tuple(s[bnd * rpb:(bnd + 1) * rpb])), []
             ).append(d)
     pairs: dict = {}
     for members in buckets.values():
+        # Spark reroutes buckets above DEFAULT_MAX_BUCKET to a star
+        # expansion this quadratic oracle does not model; the fixture
+        # corpus must stay under the cap (degrades to rows-only if not).
+        assert len(members) <= 2048, "fixture bucket exceeds LSH cap"
         for i in range(len(members)):
             for j in range(i + 1, len(members)):
                 x, y = members[i], members[j]
@@ -377,10 +397,13 @@ def simhash_near_pairs_sql(sf_dir: str, max_hamming: int = 6) -> str:
     mask64 = (1 << 64) - 1
     buckets: dict = {}
     for d, s in sh.items():
+        if s == 0:  # degenerate (no tokens) — Spark filters too
+            continue
         for c in range(4):
             buckets.setdefault((c, (s >> (16 * c)) & 0xFFFF), []).append(d)
     pairs: dict = {}
     for members in buckets.values():
+        assert len(members) <= 2048, "fixture bucket exceeds LSH cap"
         for i in range(len(members)):
             for j in range(i + 1, len(members)):
                 x, y = members[i], members[j]

@@ -32,13 +32,15 @@ def test_categories_match_reference_constant():
         ("matrícula antiga 5050-P", [("MATRICULA", "5050-P")]),
         ("usuário de rede r.silva", [("USUARIO_REDE", "r.silva")]),
         ("nascido em 15/05/1985", [("DATA_NASCIMENTO", "15/05/1985")]),
+        # adjacent same-category hits merge into one fragment, mirroring
+        # the reference LLM's whole-fragment extraction (dataset.json
+        # labels "diagnosticada com Burnout grave…" as ONE span)
         ("diagnosticada com Burnout",
-         [("CONDICAO_DE_SAUDE", "diagnosticada com"),
-          ("CONDICAO_DE_SAUDE", "Burnout")]),
+         [("CONDICAO_DE_SAUDE", "diagnosticada com Burnout")]),
         ("dores na lombar (CID M54.5)", [("CONDICAO_DE_SAUDE", "CID M54.5")]),
         ("há uma suspensão anterior por uso indevido de recursos",
-         [("HISTORICO_DISCIPLINAR", "suspensão anterior"),
-          ("HISTORICO_DISCIPLINAR", "uso indevido de recursos")]),
+         [("HISTORICO_DISCIPLINAR",
+           "suspensão anterior por uso indevido de recursos")]),
         ("processo de divórcio litigioso",
          [("PROBLEMA_PESSOAL_FAMILIAR", "processo de divórcio litigioso")]),
         ("do departamento de Inovação Digital",
@@ -95,9 +97,10 @@ def test_scrub_numbering_left_to_right_per_category():
 def test_sensitive_stage_f1_on_reference_dataset():
     """Ablation vs the reference's own labels for the 13 deterministic
     sensitive categories (the other 6 — CARGO, ENDERECO_*, NOME_BANCO —
-    are owned by the NER stage). Measured P=0.895 R=0.903 F1=0.899; the
-    reference's own full LLM pipeline claims ~0.60 (README.md:140).
-    Pinned with a safety margin."""
+    are owned by the NER stage). Round-3 measured P=0.961 R=0.986
+    F1=0.973 (round 2: 0.899) after fragment merging + the
+    SALARIO/INF_FIN anchor separation; the reference's own full LLM
+    pipeline claims ~0.60 (README.md:140). Pinned with a safety margin."""
     SENS = {
         "CONDICAO_DE_SAUDE", "INFORMACAO_FINANCEIRA_DETALHADA",
         "HISTORICO_DISCIPLINAR", "PROBLEMA_PESSOAL_FAMILIAR",
@@ -135,6 +138,6 @@ def test_sensitive_stage_f1_on_reference_dataset():
     recall = TP / (TP + FN)
     f1 = 2 * precision * recall / (precision + recall)
     assert TP + FN > 1200  # the filtered oracle really is ~1239 spans
-    assert precision >= 0.87, (TP, FP, FN)
-    assert recall >= 0.87, (TP, FP, FN)
-    assert f1 >= 0.87, (TP, FP, FN, f1)
+    assert precision >= 0.95, (TP, FP, FN)
+    assert recall >= 0.97, (TP, FP, FN)
+    assert f1 >= 0.96, (TP, FP, FN, f1)

@@ -158,3 +158,29 @@ def test_lsh_drops_zero_norm_vectors(spark):
     ids = {r.id_a for r in got} | {r.id_b for r in got}
     assert 3 not in ids  # zero-norm: no direction, no NaN pairs
     assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
+
+
+def test_srp_lsh_degenerate_bucket_guard(spark):
+    """Identical embeddings all land in one SRP chunk bucket per chunk;
+    the cap must reroute to the linear star expansion (n-1 pairs from
+    the min-id representative) instead of an O(n^2) in-array blowup."""
+    from pii_filter_spark.operators.similarity import cosine_near_pairs_lsh
+
+    n = 2000
+    same = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(i + 1)) for i in range(8)]).alias("embedding"),
+    )
+    zeros = spark.range(100).select(
+        (F.col("id") + 100_000).alias("vec_id"),
+        F.array(*[F.lit(0.0)] * 8).alias("embedding"),
+    )
+    pairs = cosine_near_pairs_lsh(
+        same.unionByName(zeros), threshold=0.9, planes=16, chunks=4,
+        dim=8, max_bucket_size=100,
+    ).toPandas()
+    assert len(pairs) == n - 1
+    assert (pairs.id_a == 0).all()
+    assert set(pairs.id_b) == set(range(1, n))
+    assert (pairs.cos_sim >= 0.999).all()
+    assert (pairs.id_b < 100_000).all()   # zero-norm rows dropped
