@@ -39,8 +39,28 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-def read_table(spark: SparkSession, path: str) -> DataFrame:
-    """Read a table (parquet directory or file)."""
+def read_table(
+    spark: SparkSession, path: str, snapshot_id: Optional[int] = None
+) -> DataFrame:
+    """Read a table (parquet directory or file).
+
+    If the table has a snapshot log (written via snapshot_write), reads
+    resolve through it: the CURRENT snapshot's file list by default, or
+    any retained historical snapshot via `snapshot_id` — the Iceberg
+    time-travel surface (`VERSION AS OF`) on the parquet fallback. Plain
+    directories without a snapshot log read directly.
+    """
+    if snapshot_id is not None or os.path.isdir(snapshots_dir(path)):
+        snaps = {s["snapshot_id"]: s for s in list_snapshots(path)}
+        if snapshot_id is None:
+            snapshot_id = current_snapshot_id(path)
+        if snapshot_id not in snaps:
+            raise ValueError(
+                f"snapshot {snapshot_id} not found in {path} "
+                f"(have {sorted(snaps)})"
+            )
+        files = [os.path.join(path, f) for f in snaps[snapshot_id]["files"]]
+        return spark.read.parquet(*files)
     return spark.read.parquet(path)
 
 
@@ -54,6 +74,96 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+# --- snapshot log (Iceberg-style time travel on the parquet fallback) -------
+#
+# Mirrors the three Iceberg metadata behaviours the north rule's lineage
+# story needs, without the runtime jars:
+#   * every write is a new immutable SNAPSHOT (monotonic id, parent link,
+#     operation, explicit data-file list);
+#   * old snapshots retain their files — an overwrite supersedes the
+#     current pointer but snapshot N-1 stays readable (time travel);
+#   * commits are atomic: the vN.json and the `current` pointer land via
+#     write-temp + os.replace, so a killed writer never publishes a
+#     partial snapshot. (Real Iceberg does CAS on the pointer; the
+#     single-writer fallback is last-write-wins, documented.)
+
+def snapshots_dir(table_path: str) -> str:
+    return os.path.join(table_path, "_snapshots")
+
+
+def list_snapshots(table_path: str) -> List[Dict]:
+    d = snapshots_dir(table_path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(os.listdir(d)):
+        if name.startswith("v") and name.endswith(".json"):
+            with open(os.path.join(d, name), encoding="utf-8") as fh:
+                out.append(json.load(fh))
+    return out
+
+
+def current_snapshot_id(table_path: str) -> Optional[int]:
+    ptr = os.path.join(snapshots_dir(table_path), "current")
+    if not os.path.isfile(ptr):
+        return None
+    with open(ptr, encoding="utf-8") as fh:
+        return int(fh.read().strip())
+
+
+def _publish(path: str, content: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(content)
+    os.replace(tmp, path)
+
+
+def snapshot_write(
+    df: DataFrame,
+    table_path: str,
+    mode: str = "append",
+    partition_by: Optional[List[str]] = None,
+) -> int:
+    """Write `df` as a new snapshot of the table; returns its id.
+
+    mode="append": the new snapshot's file list is the parent's plus the
+    new files. mode="overwrite": the new list is just the new files —
+    but the parent's files stay on disk and its snapshot stays readable.
+    Data files land under data/s{id:05d}/ so concurrent historical reads
+    never race with new writes.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"snapshot_write mode must be append|overwrite, got {mode}")
+    snaps = list_snapshots(table_path)
+    parent = current_snapshot_id(table_path)
+    new_id = (max((s["snapshot_id"] for s in snaps), default=0)) + 1
+    rel_dir = os.path.join("data", f"s{new_id:05d}")
+    out_dir = os.path.join(table_path, rel_dir)
+    writer = df.write.mode("errorifexists")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(out_dir)
+    inherited: List[str] = []
+    if mode == "append" and parent is not None:
+        by_id = {s["snapshot_id"]: s for s in snaps}
+        inherited = list(by_id[parent]["files"])
+    snap = {
+        "snapshot_id": new_id,
+        "parent_id": parent,
+        "operation": mode,
+        "files": inherited + [rel_dir],
+        "added_files": [rel_dir],
+    }
+    d = snapshots_dir(table_path)
+    os.makedirs(d, exist_ok=True)
+    _publish(
+        os.path.join(d, f"v{new_id:05d}.json"),
+        json.dumps(snap, sort_keys=True),
+    )
+    _publish(os.path.join(d, "current"), str(new_id))
+    return new_id
 
 
 # --- manifest (snapshot/lineage sidecar) -----------------------------------

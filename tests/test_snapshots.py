@@ -1,0 +1,65 @@
+"""Snapshot log: Iceberg-style time travel on the parquet fallback
+(round-3 VERDICT #6 — exercise the lineage story, don't just assert it)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pii_filter_spark.sources.table_io import (
+    current_snapshot_id,
+    list_snapshots,
+    read_table,
+    snapshot_write,
+)
+
+
+def test_snapshot_append_and_time_travel(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    df1 = spark.range(10).select(F.col("id"), F.lit("a").alias("batch"))
+    df2 = spark.range(10, 25).select(F.col("id"), F.lit("b").alias("batch"))
+
+    s1 = snapshot_write(df1, tbl, mode="append")
+    s2 = snapshot_write(df2, tbl, mode="append")
+    assert (s1, s2) == (1, 2)
+    assert current_snapshot_id(tbl) == 2
+
+    # current read sees both batches; snapshot 1 sees only the first
+    assert read_table(spark, tbl).count() == 25
+    old = read_table(spark, tbl, snapshot_id=1)
+    assert old.count() == 10
+    assert {r.batch for r in old.collect()} == {"a"}
+
+    # snapshot metadata: parent chain + explicit file lists
+    snaps = {s["snapshot_id"]: s for s in list_snapshots(tbl)}
+    assert snaps[1]["parent_id"] is None
+    assert snaps[2]["parent_id"] == 1
+    assert len(snaps[2]["files"]) == 2
+    assert snaps[2]["added_files"] == [snaps[2]["files"][-1]]
+
+
+def test_snapshot_overwrite_keeps_history_readable(spark, tmp_path):
+    """An overwrite supersedes the current pointer, but the previous
+    snapshot's files are retained and stay readable — the core Iceberg
+    time-travel guarantee the README's lineage story depends on."""
+    tbl = str(tmp_path / "tbl")
+    snapshot_write(
+        spark.range(5).select(F.col("id"), F.lit("old").alias("tag")), tbl
+    )
+    s2 = snapshot_write(
+        spark.range(100, 103).select(F.col("id"), F.lit("new").alias("tag")),
+        tbl,
+        mode="overwrite",
+    )
+    assert current_snapshot_id(tbl) == s2 == 2
+    assert read_table(spark, tbl).count() == 3          # overwritten view
+    prev = read_table(spark, tbl, snapshot_id=1)        # time travel
+    assert prev.count() == 5
+    assert {r.tag for r in prev.collect()} == {"old"}
+
+    with pytest.raises(ValueError, match="snapshot 9 not found"):
+        read_table(spark, tbl, snapshot_id=9)
+
+
+def test_plain_directory_read_unaffected(spark, tmp_path):
+    p = str(tmp_path / "plain")
+    spark.range(7).write.parquet(p)
+    assert read_table(spark, p).count() == 7
