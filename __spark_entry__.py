@@ -3,11 +3,11 @@
 entry(spark)   — flagship: PII/toxicity scrub + quality filter over the
                  sf0.001 documents table with deterministic PII clauses
                  appended (the engine's core semantics end-to-end).
-queries()      — 47 callables covering the operator families of
+queries()      — 48 callables covering the operator families of
                  SURVEY.md §2 plus the north-rule/training-data
                  additions (see COVERAGE.md for the full map).
 oracle_sql()   — a DuckDB oracle for EVERY query: 30 plain SQL
-                 equivalents, 17 computed-literal fixture oracles for
+                 equivalents, 18 computed-literal fixture oracles for
                  the model-backed ops (langid, perplexity, minhash,
                  simhash, SRP-LSH, IVF, pair queries, image/audio/video
                  stages) — see pii_filter_spark/oracle_support.py.
@@ -559,6 +559,15 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minhash banding bucket-size histogram — the pre-dedup diagnostic
+    that predicts candidate-pair volume and flags boilerplate families
+    before a web-scale pass (operators/dedup.lsh_bucket_stats)."""
+    from pii_filter_spark.operators.dedup import lsh_bucket_stats
+
+    return lsh_bucket_stats(_par(spark, _docs(spark, sf_dir)))
+
+
 def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch (order-statistics estimator) over a
     PORTABLE md5-prefix hash — unlike HLL registers, bit-reproducible in
@@ -840,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
         "kmv_distinct_users": q_kmv_distinct_users,
+        "lsh_bucket_stats": q_lsh_bucket_stats,
         "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
         "bpe_token_totals": q_bpe_token_totals,
@@ -1224,6 +1234,7 @@ def _fixture_oracles() -> dict[str, str]:
         ("quality_full", lambda sf: osup.quality_full_sql(sf, _PII_CLAUSES)),
         ("simhash", osup.simhash_sql),
         ("minhash_lsh_pairs", osup.minhash_lsh_pairs_sql),
+        ("lsh_bucket_stats", osup.lsh_bucket_stats_sql),
         ("dedup_clusters", osup.dedup_clusters_sql),
         ("simhash_near_pairs", osup.simhash_near_pairs_sql),
         ("image_verify", lambda sf: osup.image_verify_sql()),

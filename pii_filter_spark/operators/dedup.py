@@ -55,7 +55,9 @@ def _normalize_expr(col):
 DEFAULT_MAX_BUCKET = 2048
 
 
-def _bucket_pair_expansion(members, make_pair, keep, pair_cols, max_bucket_size):
+def _bucket_pair_expansion(
+    members, make_pair, keep, pair_cols, max_bucket_size, once_guard=None
+):
     """Expand each bucket's member array `ms` into candidate pairs.
 
     Buckets at or under `max_bucket_size` get the exact i<j quadratic
@@ -71,35 +73,44 @@ def _bucket_pair_expansion(members, make_pair, keep, pair_cols, max_bucket_size)
     array_sort(...) inside the HOF lambda would re-sort per element
     (Catalyst does not hoist loop-invariant subexpressions out of
     lambdas).
+
+    `once_guard(x, y)` (optional) must be true only for the FIRST
+    band/chunk in which the pair collides (one zip_with over the staged
+    per-band key arrays + array_position). With it, each unordered pair
+    is emitted exactly once across all bands: the verify expression in
+    make_pair runs once per pair instead of once per colliding band
+    (near-dup families collide in ALL bands), and the final
+    dropDuplicates shuffle disappears entirely. Wall-clock on the sf1
+    family-heavy corpus is within steal noise of the unguarded shape
+    (the 18.5M-candidate expansion dominates either way), but the plan
+    has one less shuffle and per-pair-constant verify cost — the shape
+    that survives a 100× scale-up. Without it, pairs deduplicate by
+    `pair_cols`.
     """
     big = F.size("ms") > max_bucket_size
     staged = (
         members.withColumn("_srt", F.when(big, F.array_sort("ms")))
         .withColumn("_x0", F.element_at("_srt", 1))
     )
+
+    def _expand(x, candidates):
+        cands = (
+            F.filter(candidates, lambda y: once_guard(x, y))
+            if once_guard is not None
+            else candidates
+        )
+        return F.filter(F.transform(cands, lambda y: make_pair(x, y)), keep)
+
     quad = F.flatten(
         F.transform(
-            "ms",
-            lambda x, i: F.filter(
-                F.transform(
-                    F.slice("ms", i + 2, F.size("ms")), lambda y: make_pair(x, y)
-                ),
-                keep,
-            ),
+            "ms", lambda x, i: _expand(x, F.slice("ms", i + 2, F.size("ms")))
         )
     )
-    star = F.filter(
-        F.transform(
-            F.slice("_srt", 2, F.size("_srt")),
-            lambda y: make_pair(F.col("_x0"), y),
-        ),
-        keep,
-    )
-    return (
-        staged.select(F.explode(F.when(big, star).otherwise(quad)).alias("p"))
-        .select("p.*")
-        .dropDuplicates(pair_cols)
-    )
+    star = _expand(F.col("_x0"), F.slice("_srt", 2, F.size("_srt")))
+    out = staged.select(
+        F.explode(F.when(big, star).otherwise(quad)).alias("p")
+    ).select("p.*")
+    return out if once_guard is not None else out.dropDuplicates(pair_cols)
 
 
 # --------------------------------------------------------------------------
@@ -219,9 +230,11 @@ def minhash_lsh_pairs(
     Plan shape: sig UDF (evaluated ONCE) → degenerate-signature filter →
     explode bands → groupBy (band, bucket) collect_list (one shuffle,
     map-side combined) → in-array pair expansion via nested transform (no
-    self-join, so the signature UDF isn't re-evaluated per join side) →
-    distinct pairs → signature-agreement estimate. No all-pairs join ever
-    materializes; a pathological bucket (boilerplate-identical docs) is
+    self-join, so the signature UDF isn't re-evaluated per join side),
+    with the signature-agreement estimate computed once per pair in its
+    first colliding band (once_guard — no dropDuplicates shuffle at all).
+    No all-pairs join ever materializes; a pathological bucket
+    (boilerplate-identical docs) is
     capped by `max_bucket_size` with a linear star reroute
     (_bucket_pair_expansion). Empty/whitespace docs hash to the all-zero
     signature — no shingle content, so "similarity" among them is
@@ -237,21 +250,29 @@ def minhash_lsh_pairs(
     # string before hashing — per-element string materialization in
     # interpreted HOF eval cost ~1.6 s for 91k band keys (measured);
     # hashing the longs directly is ~30x cheaper and the grouping is
-    # identical (equal slices ⇔ equal keys either way).
-    banded = sigs.select(
-        F.struct(F.col(id_col).alias("id"), F.col("sig")).alias("m"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda bnd: F.xxhash64(
-                    *[
-                        F.element_at("sig", bnd * rows_per_band + j + 1)
-                        for j in range(rows_per_band)
-                    ],
-                    bnd,
-                ),
-            )
-        ).alias("band", "bucket"),
+    # identical (equal slices ⇔ equal keys either way). The whole key
+    # array rides inside the member struct so the pair expansion can
+    # check "did this pair already collide in an earlier band?" with one
+    # long comparison per earlier band (see once_guard below).
+    keyed = sigs.select(
+        F.col(id_col),
+        "sig",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda bnd: F.xxhash64(
+                *[
+                    F.element_at("sig", bnd * rows_per_band + j + 1)
+                    for j in range(rows_per_band)
+                ],
+                bnd,
+            ),
+        ).alias("keys"),
+    )
+    banded = keyed.select(
+        F.struct(
+            F.col(id_col).alias("id"), F.col("sig"), F.col("keys")
+        ).alias("m"),
+        F.posexplode("keys").alias("band", "bucket"),
     )
     members = (
         banded.groupBy("band", "bucket")
@@ -280,12 +301,76 @@ def minhash_lsh_pairs(
             _est(x, y).alias("est_jaccard"),
         )
 
+    # True only in the FIRST band the pair collides in: the position of
+    # the first equal band key is this band. One small zip_with per
+    # candidate — a slice-based prefix comparison was measured SLOWER
+    # than the unguarded est (3 array allocations per candidate-band).
+    def _first_band(x, y):
+        return (
+            F.array_position(
+                F.zip_with(x["keys"], y["keys"], lambda a, b: a == b),
+                F.lit(True),
+            )
+            == F.col("band") + 1
+        )
+
     return _bucket_pair_expansion(
         members,
         _pair,
         lambda p: p["est_jaccard"] >= threshold,
         ["id_a", "id_b"],
         max_bucket_size,
+        once_guard=_first_band,
+    )
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    seed: int = 7,
+) -> DataFrame:
+    """Bucket-size distribution of the minhash banding — the diagnostic a
+    corpus operator runs BEFORE a 100-TB dedup pass to pick
+    max_bucket_size and predict candidate-pair volume. One row per
+    bucket-size value: (bucket_size, n_buckets, candidate_pairs), where
+    candidate_pairs = n_buckets * size*(size-1)/2. Total candidate volume
+    is sum(candidate_pairs); any size near DEFAULT_MAX_BUCKET signals
+    boilerplate families that will take the star reroute."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
+    sigs = sigs.where(F.exists("sig", lambda v: v != F.lit(0)))
+    banded = sigs.select(
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bnd: F.xxhash64(
+                    *[
+                        F.element_at("sig", bnd * rows_per_band + j + 1)
+                        for j in range(rows_per_band)
+                    ],
+                    bnd,
+                ),
+            )
+        ).alias("band", "bucket")
+    )
+    sizes = banded.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return (
+        sizes.groupBy("bucket_size")
+        .agg(F.count(F.lit(1)).alias("n_buckets"))
+        .select(
+            "bucket_size",
+            "n_buckets",
+            (
+                F.col("n_buckets")
+                * (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2)
+            ).cast("long").alias("candidate_pairs"),
+        )
     )
 
 
@@ -348,27 +433,44 @@ def simhash_near_pairs(
     docs (simhash 0) are filtered before chunking and oversized buckets
     take the linear star reroute — see _bucket_pair_expansion."""
     sims = simhash_column(df, text_col, id_col).where(F.col("simhash") != 0)
-    chunks = sims.select(
-        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")).alias("m"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
-                ]
-            )
-        ).alias("chunk_idx", "chunk_val"),
+    keyed = sims.select(
+        F.col(id_col),
+        "simhash",
+        F.array(
+            *[
+                F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                for i in range(4)
+            ]
+        ).alias("keys"),
+    )
+    chunks = keyed.select(
+        F.struct(
+            F.col(id_col).alias("id"),
+            F.col("simhash").alias("sh"),
+            F.col("keys"),
+        ).alias("m"),
+        F.posexplode("keys").alias("chunk_idx", "chunk_val"),
     )
     members = (
         chunks.groupBy("chunk_idx", "chunk_val")
         .agg(F.collect_list("m").alias("ms"))
         .where(F.size("ms") > 1)
     )
+
     def _pair(x, y):
         return F.struct(
             F.when(x["id"] < y["id"], x["id"]).otherwise(y["id"]).alias("id_a"),
             F.when(x["id"] < y["id"], y["id"]).otherwise(x["id"]).alias("id_b"),
             F.bit_count(x["sh"].bitwiseXOR(y["sh"])).alias("hamming"),
+        )
+
+    def _first_chunk(x, y):
+        return (
+            F.array_position(
+                F.zip_with(x["keys"], y["keys"], lambda a, b: a == b),
+                F.lit(True),
+            )
+            == F.col("chunk_idx") + 1
         )
 
     return _bucket_pair_expansion(
@@ -377,6 +479,7 @@ def simhash_near_pairs(
         lambda p: p["hamming"] <= max_hamming,
         ["id_a", "id_b"],
         max_bucket_size,
+        once_guard=_first_chunk,
     )
 
 

@@ -217,23 +217,24 @@ def cosine_near_pairs_lsh(
     mask = (1 << bits_per) - 1
     sig_udf = srp_signature_udf(dim, planes, seed)
     sigs = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        sig_udf(F.col(vec_col)).alias("_sig"),
+    ).select(
         F.struct(
             F.col(id_col).alias("id"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
             _norm_expr(F.col(vec_col)).alias("nrm"),
-        ).alias("m"),
-        sig_udf(F.col(vec_col)).alias("_sig"),
-    ).where(F.col("m.nrm") > 0)
-    chunked = sigs.select(
-        "m",
-        F.posexplode(
             F.array(
                 *[
                     F.shiftright("_sig", bits_per * i).bitwiseAND(F.lit(mask))
                     for i in range(chunks)
                 ]
-            )
-        ).alias("chunk_idx", "chunk_val"),
+            ).alias("keys"),
+        ).alias("m"),
+    ).where(F.col("m.nrm") > 0)
+    chunked = sigs.select(
+        "m", F.posexplode(F.col("m.keys")).alias("chunk_idx", "chunk_val")
     )
     members = (
         chunked.groupBy("chunk_idx", "chunk_val")
@@ -255,12 +256,22 @@ def cosine_near_pairs_lsh(
             _cos(x, y).alias("cos_sim"),
         )
 
+    def _first_chunk(x, y):
+        return (
+            F.array_position(
+                F.zip_with(x["keys"], y["keys"], lambda a, b: a == b),
+                F.lit(True),
+            )
+            == F.col("chunk_idx") + 1
+        )
+
     return _bucket_pair_expansion(
         members,
         _pair,
         lambda p: p["cos_sim"] >= threshold,
         ["id_a", "id_b"],
         max_bucket_size,
+        once_guard=_first_chunk,
     )
 
 

@@ -339,6 +339,35 @@ def _minhash_pairs(sf_dir: str, num_hashes: int = 64, bands: int = 16,
     return pairs, [d for d, _ in all_docs]
 
 
+def lsh_bucket_stats_sql(sf_dir: str, num_hashes: int = 64, bands: int = 16,
+                         shingle_k: int = 5, seed: int = 7) -> str:
+    """Bucket-size histogram of the minhash banding over the plain
+    documents table — banding replicated by slice equality (equal slices
+    <=> equal xxhash64 band keys, modulo ~2^-64 collisions)."""
+    from .operators.dedup import _minhash_params, minhash_sig
+
+    a, b = _minhash_params(num_hashes, seed)
+    rpb = num_hashes // bands
+    buckets: dict = {}
+    for d, t in _read_docs(sf_dir):
+        s = minhash_sig(t, a, b, num_hashes, shingle_k)
+        if not any(s):
+            continue
+        for bnd in range(bands):
+            key = (bnd, tuple(s[bnd * rpb:(bnd + 1) * rpb]))
+            buckets[key] = buckets.get(key, 0) + 1
+    hist: dict = {}
+    for size in buckets.values():
+        hist[size] = hist.get(size, 0) + 1
+    rows = sorted(
+        (size, n, n * (size * (size - 1) // 2)) for size, n in hist.items()
+    )
+    return _values_sql(
+        rows, ["bucket_size", "n_buckets", "candidate_pairs"],
+        ["BIGINT", "BIGINT", "BIGINT"],
+    )
+
+
 def minhash_lsh_pairs_sql(sf_dir: str) -> str:
     pairs, _ = _minhash_pairs(sf_dir)
     rows = [(x, y, e) for (x, y), e in sorted(pairs.items())]

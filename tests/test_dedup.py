@@ -213,3 +213,19 @@ def test_lsh_cap_no_effect_below_threshold(spark, docs_with_dups):
     ).toPandas()
     key = lambda df: sorted(zip(df.id_a, df.id_b, df.est_jaccard))
     assert key(base) == key(huge_cap)
+
+
+def test_lsh_bucket_stats_accounting(spark, docs_with_dups):
+    """Histogram must account for every (doc, band) membership exactly
+    once: sum(bucket_size * n_buckets) == bands * n_docs (no degenerate
+    docs in this corpus), and candidate_pairs follows m*(m-1)/2."""
+    from pii_filter_spark.operators.dedup import lsh_bucket_stats
+
+    bands = 16
+    stats = lsh_bucket_stats(docs_with_dups, bands=bands).toPandas()
+    n_docs = docs_with_dups.count()
+    assert (stats.bucket_size * stats.n_buckets).sum() == bands * n_docs
+    for _, r in stats.iterrows():
+        assert r.candidate_pairs == r.n_buckets * (r.bucket_size * (r.bucket_size - 1) // 2)
+    # the 50 planted exact copies guarantee multi-member buckets exist
+    assert (stats.bucket_size >= 2).any()
