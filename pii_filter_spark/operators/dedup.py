@@ -242,8 +242,15 @@ def minhash_lsh_pairs(
     via dedup_exact) instead of piling 10^9 rows into one bucket per band.
     """
     rows_per_band = num_hashes // bands
+    # Degenerate filter on the INPUT text, not on the signature column: a
+    # filter referencing the UDF output gets pushed below the repartition
+    # exchange into each union branch while the original eval stays above
+    # it — the UDF runs twice per row (three ArrowEvalPython nodes in the
+    # plan). trim(text) != '' is the exact condition minhash_sig zeroes
+    # on (space-trim; rarer all-zero sigs, e.g. newline-only docs, pass
+    # through identically in Spark and oracle and are bucket-capped).
+    df = df.where(F.trim(F.col(text_col)) != "")
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
-    sigs = sigs.where(F.exists("sig", lambda v: v != F.lit(0)))
 
     # Band key: xxhash64 over the band's raw longs + the band index.
     # The first implementation cast the slice array<long>→array<string>→
@@ -272,7 +279,13 @@ def minhash_lsh_pairs(
         F.struct(
             F.col(id_col).alias("id"), F.col("sig"), F.col("keys")
         ).alias("m"),
-        F.posexplode("keys").alias("band", "bucket"),
+        # posexplode_outer, NOT posexplode: plain posexplode makes Catalyst
+        # insert a size(keys)>0 pre-filter below the Generate, which drags
+        # the signature UDF below the repartition exchange into each union
+        # branch — the UDF then runs twice per row (the round-1
+        # explode-over-UDF trap). keys always has `bands` entries, so the
+        # outer variant is row-identical.
+        F.posexplode_outer("keys").alias("band", "bucket"),
     )
     members = (
         banded.groupBy("band", "bucket")
@@ -341,10 +354,10 @@ def lsh_bucket_stats(
     is sum(candidate_pairs); any size near DEFAULT_MAX_BUCKET signals
     boilerplate families that will take the star reroute."""
     rows_per_band = num_hashes // bands
+    df = df.where(F.trim(F.col(text_col)) != "")  # see minhash_lsh_pairs
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
-    sigs = sigs.where(F.exists("sig", lambda v: v != F.lit(0)))
     banded = sigs.select(
-        F.posexplode(
+        F.posexplode_outer(  # outer: see minhash_lsh_pairs explode note
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda bnd: F.xxhash64(
@@ -432,7 +445,11 @@ def simhash_near_pairs(
     self-join), exact hamming verify via bit_count(xor). Empty/token-less
     docs (simhash 0) are filtered before chunking and oversized buckets
     take the linear star reroute — see _bucket_pair_expansion."""
-    sims = simhash_column(df, text_col, id_col).where(F.col("simhash") != 0)
+    # input-text degenerate filter (not simhash != 0) — same double-eval
+    # trap as minhash_lsh_pairs; token-less non-empty docs (sh == 0) pass
+    # through identically in both engines and are bucket-capped.
+    df = df.where(F.trim(F.col(text_col)) != "")
+    sims = simhash_column(df, text_col, id_col)
     keyed = sims.select(
         F.col(id_col),
         "simhash",
@@ -449,7 +466,8 @@ def simhash_near_pairs(
             F.col("simhash").alias("sh"),
             F.col("keys"),
         ).alias("m"),
-        F.posexplode("keys").alias("chunk_idx", "chunk_val"),
+        F.posexplode_outer("keys").alias("chunk_idx", "chunk_val"),  # see
+        # minhash_lsh_pairs note on the explode-over-UDF pre-filter trap
     )
     members = (
         chunks.groupBy("chunk_idx", "chunk_val")

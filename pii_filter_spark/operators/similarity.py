@@ -234,7 +234,9 @@ def cosine_near_pairs_lsh(
         ).alias("m"),
     ).where(F.col("m.nrm") > 0)
     chunked = sigs.select(
-        "m", F.posexplode(F.col("m.keys")).alias("chunk_idx", "chunk_val")
+        # outer: plain posexplode inserts a size>0 pre-filter below the
+        # Generate that drags the SRP UDF below the exchange (double eval)
+        "m", F.posexplode_outer(F.col("m.keys")).alias("chunk_idx", "chunk_val")
     )
     members = (
         chunked.groupBy("chunk_idx", "chunk_val")

@@ -309,12 +309,16 @@ def _minhash_pairs(sf_dir: str, num_hashes: int = 64, bands: int = 16,
         for d, t in docs
         if (d + 1_000_000) % 7 == 0
     ]
+    # Spark drops rows with trim(text) == '' BEFORE the signature UDF
+    # (space-trim, mirroring F.trim); mirror exactly.
+    all_docs = [
+        (d, t) for d, t in all_docs
+        if t is not None and t.strip(" ") != ""
+    ]
     sigs = {d: minhash_sig(t, a, b, num_hashes, shingle_k) for d, t in all_docs}
     rpb = num_hashes // bands
     buckets: dict = {}
     for d, s in sigs.items():
-        if not any(s):  # degenerate (empty/whitespace doc) — Spark filters too
-            continue
         for bnd in range(bands):
             buckets.setdefault(
                 (bnd, tuple(s[bnd * rpb:(bnd + 1) * rpb])), []
@@ -350,9 +354,9 @@ def lsh_bucket_stats_sql(sf_dir: str, num_hashes: int = 64, bands: int = 16,
     rpb = num_hashes // bands
     buckets: dict = {}
     for d, t in _read_docs(sf_dir):
-        s = minhash_sig(t, a, b, num_hashes, shingle_k)
-        if not any(s):
+        if t is None or t.strip(" ") == "":  # mirrors Spark's trim filter
             continue
+        s = minhash_sig(t, a, b, num_hashes, shingle_k)
         for bnd in range(bands):
             key = (bnd, tuple(s[bnd * rpb:(bnd + 1) * rpb]))
             buckets[key] = buckets.get(key, 0) + 1
@@ -422,12 +426,14 @@ def simhash_near_pairs_sql(sf_dir: str, max_hamming: int = 6) -> str:
         for d, t in docs
         if (d + 1_000_000) % 11 == 0
     ]
+    all_docs = [
+        (d, t) for d, t in all_docs
+        if t is not None and t.strip(" ") != ""  # mirrors Spark's trim filter
+    ]
     sh = {d: simhash64(t) for d, t in all_docs}
     mask64 = (1 << 64) - 1
     buckets: dict = {}
     for d, s in sh.items():
-        if s == 0:  # degenerate (no tokens) — Spark filters too
-            continue
         for c in range(4):
             buckets.setdefault((c, (s >> (16 * c)) & 0xFFFF), []).append(d)
     pairs: dict = {}

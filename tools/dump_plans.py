@@ -45,10 +45,13 @@ CASES = [
     ),
     (
         "minhash_lsh_pairs",
-        "LSH near-dup pairs: signature UDF appears ONCE (no self-join "
-        "double-evaluation); one shuffle to bucket, pair expansion and "
-        "threshold filtering happen inside the bucket task, distinct on "
-        "surviving pairs only.",
+        "LSH near-dup pairs: signature UDF appears ONCE, above the "
+        "exchange (union branches are pure scan+filter — posexplode_outer "
+        "avoids the size()>0-below-Generate pushdown that would drag the "
+        "UDF into each branch); one shuffle to bucket; pair expansion, "
+        "first-colliding-band emission, and threshold filtering all "
+        "happen inside the bucket task, so there is NO distinct/"
+        "dropDuplicates exchange at all.",
     ),
     (
         "embedding_near_pairs",
