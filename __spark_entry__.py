@@ -3,11 +3,11 @@
 entry(spark)   — flagship: PII/toxicity scrub + quality filter over the
                  sf0.001 documents table with deterministic PII clauses
                  appended (the engine's core semantics end-to-end).
-queries()      — 48 callables covering the operator families of
+queries()      — 50 callables covering the operator families of
                  SURVEY.md §2 plus the north-rule/training-data
                  additions (see COVERAGE.md for the full map).
-oracle_sql()   — a DuckDB oracle for EVERY query: 30 plain SQL
-                 equivalents, 18 computed-literal fixture oracles for
+oracle_sql()   — a DuckDB oracle for EVERY query: 31 plain SQL
+                 equivalents, 19 computed-literal fixture oracles for
                  the model-backed ops (langid, perplexity, minhash,
                  simhash, SRP-LSH, IVF, pair queries, image/audio/video
                  stages) — see pii_filter_spark/oracle_support.py.
@@ -544,6 +544,25 @@ def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("image_id", "phash")
 
 
+def q_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE discovery by perceptual-hash hamming distance
+    (north-rule image dedup): synthetic table ∪ re-encoded copies whose
+    phash differs by 2 bits; banded hamming operator finds both the
+    hot-phash exact groups (hamming 0) and the planted re-encodes."""
+    from pii_filter_spark.operators.dedup import phash_near_pairs
+    from pii_filter_spark.sources.synth import build_input_table
+
+    imgs = build_input_table(spark, 400, seed=42, num_partitions=8).select(
+        "image_id", "phash"
+    )
+    idx = F.substring("image_id", 5, 8).cast("int")
+    copies = imgs.where(idx % 5 == 0).select(
+        F.concat("image_id", F.lit("_re")).alias("image_id"),
+        F.col("phash").bitwiseXOR(F.lit(5)).alias("phash"),  # 2-bit flip
+    )
+    return phash_near_pairs(imgs.unionByName(copies), max_hamming=3)
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup discovery over documents ∪ perturbed copies of them."""
     from pii_filter_spark.operators.dedup import minhash_lsh_pairs
@@ -566,6 +585,14 @@ def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pii_filter_spark.operators.dedup import lsh_bucket_stats
 
     return lsh_bucket_stats(_par(spark, _docs(spark, sf_dir)))
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup-sentence fraction, top-word
+    fraction) per document — native HOFs, no shuffle, no Python."""
+    from pii_filter_spark.operators.textstats import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
 
 
 def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -840,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_verify": q_image_verify,
         "image_features": q_image_features,
         "phash_dedup": q_phash_dedup,
+        "phash_near_pairs": q_phash_near_pairs,
         "video_frame_sample": q_video_frame_sample,
         "audio_features": q_audio_features,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -850,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "kmv_distinct_users": q_kmv_distinct_users,
         "lsh_bucket_stats": q_lsh_bucket_stats,
+        "repetition_signals": q_repetition_signals,
         "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
         "bpe_token_totals": q_bpe_token_totals,
@@ -1190,6 +1219,30 @@ def _static_oracles(scrub_case, type_case, scrub_restored_case) -> dict[str, str
                          ELSE 0.0 END, 4) AS jaccard
             FROM ga a JOIN gb b ON a.doc_id = b.doc_id
         """,
+        "repetition_signals": r"""
+            WITH staged AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                         regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                         s -> trim(s)), s -> s <> '') AS sents,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 w -> w <> '') AS words
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(sents) AS n_sentences,
+                   CASE WHEN len(sents) > 0
+                        THEN round(1.0 - CAST(len(list_distinct(sents)) AS DOUBLE)
+                                         / len(sents), 4)
+                        ELSE 0.0 END AS dup_sent_frac,
+                   CASE WHEN len(words) > 0
+                        THEN round(CAST(list_max(list_transform(
+                                 list_distinct(words),
+                                 w -> len(list_filter(words, x -> x = w))))
+                               AS DOUBLE) / len(words), 4)
+                        ELSE 0.0 END AS top_word_frac
+            FROM staged
+        """,
         "bpe_token_totals": r"""
             SELECT source,
                    CAST(SUM(len(regexp_extract_all(
@@ -1242,6 +1295,7 @@ def _fixture_oracles() -> dict[str, str]:
         ("video_frame_sample", lambda sf: osup.video_frame_sample_sql()),
         ("audio_features", lambda sf: osup.audio_features_sql()),
         ("phash_dedup", lambda sf: osup.phash_dedup_sql()),
+        ("phash_near_pairs", lambda sf: osup.phash_near_pairs_sql()),
         ("langid_documents", osup.langid_sql),
         ("perplexity_scores", osup.perplexity_sql),
         ("minhash_signatures", osup.minhash_sql),

@@ -432,30 +432,30 @@ def simhash_column(
     return df.select(id_col, _sim(F.col(text_col)).alias("simhash"))
 
 
-def simhash_near_pairs(
+def hamming_near_pairs(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+    hash_col: str,
+    id_col: str,
     max_hamming: int = 3,
     max_bucket_size: int = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
-    """Near-dup pairs by simhash: band 64 bits into 4x16-bit chunks (any pair
-    within hamming<=3 of 4 chunks must agree on >=1 chunk), bucket by
-    chunk value, in-array pair expansion (single simhash evaluation, no
-    self-join), exact hamming verify via bit_count(xor). Empty/token-less
-    docs (simhash 0) are filtered before chunking and oversized buckets
-    take the linear star reroute — see _bucket_pair_expansion."""
-    # input-text degenerate filter (not simhash != 0) — same double-eval
-    # trap as minhash_lsh_pairs; token-less non-empty docs (sh == 0) pass
-    # through identically in both engines and are bucket-capped.
-    df = df.where(F.trim(F.col(text_col)) != "")
-    sims = simhash_column(df, text_col, id_col)
-    keyed = sims.select(
+    """Near-dup pairs among 64-bit hashes by hamming distance.
+
+    Bands the 64 bits into 4x16-bit chunks — any pair within hamming<=3
+    must agree on >=1 whole chunk (pigeonhole), so recall is exact up to
+    3 and probabilistic above; bucket by chunk value, in-array pair
+    expansion with first-colliding-chunk emission (hash column evaluated
+    once, no self-join, no distinct shuffle), exact verify via
+    bit_count(xor). Works for any 64-bit locality hash: text simhash
+    (simhash_near_pairs) and image perceptual hash (the north rule's
+    phash column) share this one operator. Oversized buckets take the
+    linear star reroute — see _bucket_pair_expansion."""
+    keyed = df.select(
         F.col(id_col),
-        "simhash",
+        F.col(hash_col).alias("_h"),
         F.array(
             *[
-                F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                F.shiftright(hash_col, 16 * i).bitwiseAND(F.lit(0xFFFF))
                 for i in range(4)
             ]
         ).alias("keys"),
@@ -463,7 +463,7 @@ def simhash_near_pairs(
     chunks = keyed.select(
         F.struct(
             F.col(id_col).alias("id"),
-            F.col("simhash").alias("sh"),
+            F.col("_h").alias("sh"),
             F.col("keys"),
         ).alias("m"),
         F.posexplode_outer("keys").alias("chunk_idx", "chunk_val"),  # see
@@ -499,6 +499,40 @@ def simhash_near_pairs(
         max_bucket_size,
         once_guard=_first_chunk,
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Near-dup text pairs by simhash — simhash_column ∘ hamming_near_pairs.
+    Empty/whitespace docs are filtered on the INPUT text (not on
+    simhash != 0: a filter referencing the UDF output gets pushed below
+    the exchange and double-evaluates the UDF — see minhash_lsh_pairs);
+    token-less non-empty docs (sh == 0) pass through identically in both
+    engines and are bucket-capped."""
+    df = df.where(F.trim(F.col(text_col)) != "")
+    sims = simhash_column(df, text_col, id_col)
+    return hamming_near_pairs(sims, "simhash", id_col, max_hamming,
+                              max_bucket_size)
+
+
+def phash_near_pairs(
+    df: DataFrame,
+    phash_col: str = "phash",
+    id_col: str = "image_id",
+    max_hamming: int = 3,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash hamming distance —
+    the north rule's image-dedup discovery step (exact-phash dedup is
+    dedup_by_key; this catches re-encodes/resizes whose phash differs in
+    a few bits). Same banded operator as text simhash."""
+    return hamming_near_pairs(df, phash_col, id_col, max_hamming,
+                              max_bucket_size)
 
 
 # --------------------------------------------------------------------------

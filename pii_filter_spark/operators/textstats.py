@@ -116,3 +116,66 @@ def stratified_take(
         .where(F.col("_rn") <= n_per_stratum)
         .select(stratum_col, id_col, F.col("_rn").alias("sample_rank"))
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    "repetitious" filters, adapted to sentence granularity because the
+    corpus rows are single-line):
+
+      * dup_sent_frac — fraction of sentences that are duplicates of an
+        earlier sentence (1 - distinct/total);
+      * top_word_frac — fraction of word occurrences taken by the single
+        most frequent word.
+
+    All native HOFs, one projection pipeline, no shuffle, no Python: the
+    sentence split uses the SAME RE2-safe pattern as the sentence UDTF so
+    DuckDB reproduces it verbatim; word counting is an O(distinct x
+    words) in-row HOF — bounded by document length, embarrassingly
+    row-parallel at any scale. Splits are staged as projections so
+    CollapseProject keeps them materialized instead of re-running the
+    regex per HOF element."""
+    sents_raw = F.expr(
+        f"regexp_extract_all({text_col}, '[^.!?]+[.!?]*', 0)"
+    )
+    staged = df.select(
+        id_col,
+        F.filter(
+            F.transform(sents_raw, lambda s: F.trim(s)), lambda s: s != ""
+        ).alias("_sents"),
+        # split('') yields [''] — drop empties so blank docs count 0 words
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
+        ).alias("_words"),
+    ).select(
+        id_col,
+        "_sents",
+        "_words",
+        F.array_distinct("_words").alias("_dwords"),
+    )
+    n_sent = F.size("_sents")
+    dup_frac = F.when(
+        n_sent > 0,
+        F.round(
+            1.0
+            - F.size(F.array_distinct("_sents")).cast("double") / n_sent, 4
+        ),
+    ).otherwise(F.lit(0.0))
+    top_count = F.array_max(
+        F.transform(
+            "_dwords",
+            lambda w: F.size(F.filter("_words", lambda x: x == w)),
+        )
+    )
+    top_frac = F.when(
+        F.size("_words") > 0,
+        F.round(top_count.cast("double") / F.size("_words"), 4),
+    ).otherwise(F.lit(0.0))
+    return staged.select(
+        id_col,
+        n_sent.alias("n_sentences"),
+        dup_frac.alias("dup_sent_frac"),
+        top_frac.alias("top_word_frac"),
+    )

@@ -556,6 +556,42 @@ def audio_features_sql(n: int = 150, seed: int = 42) -> str:
     )
 
 
+def phash_near_pairs_sql(n: int = 400, seed: int = 42,
+                         max_hamming: int = 3) -> str:
+    """q_phash_near_pairs expected pairs: synth rows ∪ 2-bit-flipped
+    copies of idx%5==0, banded into 4x16-bit chunks, hamming verify —
+    same set semantics as the Spark operator's first-chunk-once
+    emission."""
+    mask64 = (1 << 64) - 1
+    rows = [(r["image_id"], r["phash"]) for r in _synth_rows(n, seed)]
+    rows += [
+        (rid + "_re", ph ^ 5)
+        for i, (rid, ph) in enumerate(list(rows))
+        if i % 5 == 0
+    ]
+    buckets: dict = {}
+    for rid, ph in rows:
+        for c in range(4):
+            buckets.setdefault((c, (ph >> (16 * c)) & 0xFFFF), []).append(
+                (rid, ph)
+            )
+    pairs: dict = {}
+    for members in buckets.values():
+        assert len(members) <= 2048, "fixture bucket exceeds LSH cap"
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                (xa, pa), (xb, pb) = members[i], members[j]
+                ia, ib = (xa, xb) if xa < xb else (xb, xa)
+                if (ia, ib) in pairs:
+                    continue
+                ham = bin((pa ^ pb) & mask64).count("1")
+                if ham <= max_hamming:
+                    pairs[(ia, ib)] = ham
+    out = [(a, b, h) for (a, b), h in sorted(pairs.items())]
+    return _values_sql(out, ["id_a", "id_b", "hamming"],
+                       ["VARCHAR", "VARCHAR", "INT"])
+
+
 def phash_dedup_sql(n: int = 400, seed: int = 42) -> str:
     winners: dict = {}
     for r in _synth_rows(n, seed):

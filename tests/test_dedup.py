@@ -229,3 +229,24 @@ def test_lsh_bucket_stats_accounting(spark, docs_with_dups):
         assert r.candidate_pairs == r.n_buckets * (r.bucket_size * (r.bucket_size - 1) // 2)
     # the 50 planted exact copies guarantee multi-member buckets exist
     assert (stats.bucket_size >= 2).any()
+
+
+def test_phash_near_pairs_finds_planted_flips(spark):
+    """Image near-dup discovery: 2-bit-flipped phash copies must pair
+    with their originals at hamming 2; unrelated random hashes don't."""
+    from pii_filter_spark.operators.dedup import phash_near_pairs
+    from pii_filter_spark.sources.synth import gen_pandas
+
+    pdf = gen_pandas(200, seed=7)[["image_id", "phash"]]
+    base = spark.createDataFrame(pdf)
+    flips = base.where(F.substring("image_id", 5, 8).cast("int") % 4 == 0).select(
+        F.concat("image_id", F.lit("_re")).alias("image_id"),
+        F.col("phash").bitwiseXOR(F.lit(3)).alias("phash"),
+    )
+    pairs = phash_near_pairs(base.unionByName(flips), max_hamming=3).toPandas()
+    got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    for i in range(0, 200, 4):
+        assert (f"img_{i:08d}", f"img_{i:08d}_re") in got
+    planted = pairs[pairs.id_b.str.endswith("_re")
+                    & (pairs.id_b == pairs.id_a + "_re")]
+    assert (planted.hamming == 2).all()

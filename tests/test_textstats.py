@@ -94,3 +94,22 @@ def test_stratified_take_deterministic_quota(spark):
     again = {(r.lang, r.sample_rank, r.doc_id)
              for r in stratified_take(df.repartition(7), "lang", 5).collect()}
     assert again == {(r.lang, r.sample_rank, r.doc_id) for r in rows}
+
+
+def test_repetition_signals(spark):
+    from pii_filter_spark.operators.textstats import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "One two. One two. Three four!"),
+         (2, "a a a b"),
+         (3, ""),
+         (4, "Unique sentence here.")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert out[1].n_sentences == 3
+    assert out[1].dup_sent_frac == 0.3333     # one repeated sentence of 3
+    assert out[2].top_word_frac == 0.75       # 'a' is 3 of 4 words
+    assert out[3].n_sentences == 0
+    assert out[3].dup_sent_frac == 0.0
+    assert out[3].top_word_frac == 0.0        # blank doc: 0 words, not ['']
+    assert out[4].dup_sent_frac == 0.0
