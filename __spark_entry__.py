@@ -3,10 +3,10 @@
 entry(spark)   — flagship: PII/toxicity scrub + quality filter over the
                  sf0.001 documents table with deterministic PII clauses
                  appended (the engine's core semantics end-to-end).
-queries()      — 50 callables covering the operator families of
+queries()      — 51 callables covering the operator families of
                  SURVEY.md §2 plus the north-rule/training-data
                  additions (see COVERAGE.md for the full map).
-oracle_sql()   — a DuckDB oracle for EVERY query: 31 plain SQL
+oracle_sql()   — a DuckDB oracle for EVERY query: 32 plain SQL
                  equivalents, 19 computed-literal fixture oracles for
                  the model-backed ops (langid, perplexity, minhash,
                  simhash, SRP-LSH, IVF, pair queries, image/audio/video
@@ -587,6 +587,41 @@ def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_stats(_par(spark, _docs(spark, sf_dir)))
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation composite: exact dedup ->
+    heuristic quality keep -> per-language stratified quota sample.
+    The shape a 100-TB curation run takes (each stage is the operator
+    already proven standalone); fully SQL-expressible so the whole
+    composition is hash-checked against one DuckDB query."""
+    from pii_filter_spark.operators.dedup import dedup_exact
+    from pii_filter_spark.operators.textstats import stratified_take
+
+    docs = _docs(spark, sf_dir)
+    survivors = dedup_exact(docs)
+    c = F.col("text")
+    staged = survivors.select(
+        "doc_id", "lang", c, F.split(F.trim(c), r"\s+").alias("toks")
+    ).select(
+        "doc_id", "lang", c,
+        F.size("toks").alias("wc"),
+        F.aggregate("toks", F.lit(0), lambda a, t: a + F.length(t))
+        .cast("double").alias("tok_chars"),
+        (F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))).alias(
+            "hashes"),
+    )
+    wc = F.col("wc")
+    mean_len = F.col("tok_chars") / wc
+    keep = (
+        (wc >= 3) & (wc <= 256)
+        & (mean_len >= 2.0) & (mean_len <= 14.0)
+        & ~F.contains(F.lower(c), F.lit("lorem ipsum"))
+        & ~F.contains(c, F.lit("{"))
+        & (F.col("hashes").cast("double") / wc <= 0.1)
+    )
+    kept = staged.where(keep).select("doc_id", "lang")
+    return stratified_take(kept, "lang", 10)
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals (dup-sentence fraction, top-word
     fraction) per document — native HOFs, no shuffle, no Python."""
@@ -879,6 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_users": q_kmv_distinct_users,
         "lsh_bucket_stats": q_lsh_bucket_stats,
         "repetition_signals": q_repetition_signals,
+        "curation_pipeline": q_curation_pipeline,
         "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
         "bpe_token_totals": q_bpe_token_totals,
@@ -1218,6 +1254,35 @@ def _static_oracles(scrub_case, type_case, scrub_restored_case) -> dict[str, str
                               / len(list_distinct(list_concat(a.g, b.g)))
                          ELSE 0.0 END, 4) AS jaccard
             FROM ga a JOIN gb b ON a.doc_id = b.doc_id
+        """,
+        "curation_pipeline": r"""
+            WITH survivors AS (
+              SELECT min(doc_id) AS doc_id
+              FROM documents
+              GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+            ), kept AS (
+              SELECT d.doc_id, d.lang
+              FROM documents d
+              JOIN survivors s USING (doc_id)
+              WHERE len(regexp_split_to_array(trim(d.text), '\s+')) BETWEEN 3 AND 256
+                AND CAST(list_sum(list_transform(
+                        regexp_split_to_array(trim(d.text), '\s+'),
+                        t -> len(t))) AS DOUBLE)
+                    / len(regexp_split_to_array(trim(d.text), '\s+'))
+                    BETWEEN 2.0 AND 14.0
+                AND NOT contains(lower(d.text), 'lorem ipsum')
+                AND NOT contains(d.text, '{')
+                AND CAST(len(d.text) - len(replace(d.text, '#', '')) AS DOUBLE)
+                    / len(regexp_split_to_array(trim(d.text), '\s+')) <= 0.1
+            )
+            SELECT lang, doc_id, sample_rank FROM (
+              SELECT lang, doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                     ) AS sample_rank
+              FROM kept
+            ) WHERE sample_rank <= 10
         """,
         "repetition_signals": r"""
             WITH staged AS (
