@@ -319,7 +319,7 @@ SENSITIVE_RULES: List[Tuple[str, re.Pattern, int, Any]] = [
     ("INFORMACAO_FINANCEIRA_DETALHADA", re.compile(_AMT), 0, _SYM),
 ]
 
-_GATED_RULES = [(c, p, g, t) for c, p, g, t in SENSITIVE_RULES]
+_GATED_RULES = SENSITIVE_RULES
 
 
 def find_sensitive(text: str, words: frozenset | None = None) -> List[Dict[str, Any]]:

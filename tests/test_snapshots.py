@@ -63,3 +63,38 @@ def test_plain_directory_read_unaffected(spark, tmp_path):
     p = str(tmp_path / "plain")
     spark.range(7).write.parquet(p)
     assert read_table(spark, p).count() == 7
+
+
+def test_streaming_foreachbatch_snapshot_sink(spark, tmp_path):
+    """Structured Streaming → snapshot log: each microbatch commits one
+    append snapshot (foreachBatch + snapshot_write), so a streaming
+    ingest gets the same time-travel/lineage surface as batch writes."""
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    # single part-file per input dir: maxFilesPerTrigger counts part
+    # files, and the microbatch count below depends on it
+    spark.range(0, 5).selectExpr("id", "'a' AS tag").repartition(1) \
+        .write.parquet(src + "/f1.parquet")
+    spark.range(5, 12).selectExpr("id", "'b' AS tag").repartition(1) \
+        .write.parquet(src + "/f2.parquet")
+    stream = (
+        spark.readStream.schema("id long, tag string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch_df, batch_id: snapshot_write(batch_df, tbl, "append")
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    snaps = list_snapshots(tbl)
+    assert len(snaps) == 2                      # one snapshot per microbatch
+    assert read_table(spark, tbl).count() == 12
+    first = read_table(spark, tbl, snapshot_id=1)
+    assert first.count() in (5, 7)              # one whole input file
+    assert len({r.tag for r in first.collect()}) == 1
