@@ -53,8 +53,20 @@ def kmv_distinct(
     hashed = df.select(
         F.col(key_col), _unit_hash(F.col(value_col)).alias("_u")
     ).distinct()
+    # Two-phase top-k for hot keys: a single window per key would sort a
+    # key's ENTIRE distinct-hash set in one task (billions of rows for a
+    # hot key at 10^12 scale). Phase 1 keeps the k smallest per
+    # (key, salt-of-hash) — 32-way spread, bounded partitions; phase 2
+    # re-ranks the ≤ 32k survivors per key. _u is unique within a key
+    # after the distinct, so the order is total and the two-phase result
+    # is row-identical to the single window.
+    salt = F.pmod(F.xxhash64(F.col("_u")), F.lit(32))
+    w1 = Window.partitionBy(key_col, salt).orderBy("_u")
+    local = hashed.withColumn("_lrn", F.row_number().over(w1)).where(
+        F.col("_lrn") <= k
+    )
     w = Window.partitionBy(key_col).orderBy("_u")
-    topk = hashed.withColumn("_rn", F.row_number().over(w)).where(
+    topk = local.withColumn("_rn", F.row_number().over(w)).where(
         F.col("_rn") <= k
     )
     agg = topk.groupBy(key_col).agg(

@@ -99,20 +99,35 @@ def stratified_take(
     stratum_col: str,
     n_per_stratum: int,
     id_col: str = "doc_id",
+    salt_buckets: int = 32,
 ) -> DataFrame:
     """Deterministic stratified subsample: the first n rows per stratum
     in md5(id)-order — the data-mixing/curation shape (cap each language
     / source / quality bucket at a quota) with cluster-invariant row
     selection. md5 over the stringified id gives an order-stable,
     engine-portable pseudo-random permutation (same expression exists in
-    DuckDB, so the oracle is plain SQL — unlike xxhash64), and the
-    window is one hash-partition shuffle per stratum; no global sort."""
+    DuckDB, so the oracle is plain SQL — unlike xxhash64).
+
+    TWO-PHASE window for skew: strata are often few and huge (5 language
+    values over 10^12 rows), so a single window per stratum would push a
+    whole language through one task. Phase 1 takes the local top-n per
+    (stratum, salt(id)) — salt_buckets way spread, each partition
+    bounded; phase 2 re-ranks only the ≤ n*salt_buckets survivors per
+    stratum. Selection is by a TOTAL order (md5, id), so the two-phase
+    result is row-identical to the single-window form: the global top-n
+    of a stratum is contained in the union of its per-salt top-n."""
     from pyspark.sql import Window
 
     h = F.md5(F.col(id_col).cast("string"))
-    w = Window.partitionBy(stratum_col).orderBy(h, id_col)
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_buckets))
+    w1 = Window.partitionBy(stratum_col, salt).orderBy(h, id_col)
+    local = (
+        df.withColumn("_lrn", F.row_number().over(w1))
+        .where(F.col("_lrn") <= n_per_stratum)
+    )
+    w2 = Window.partitionBy(stratum_col).orderBy(h, id_col)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        local.withColumn("_rn", F.row_number().over(w2))
         .where(F.col("_rn") <= n_per_stratum)
         .select(stratum_col, id_col, F.col("_rn").alias("sample_rank"))
     )
