@@ -186,9 +186,14 @@ def main() -> None:
     for name, fn in entrymod.queries().items():
         best = float("inf")
         for _ in range(2):  # min-of-2: drop one-time plan/JIT overhead
-            df = fn(spark, sf_dir)
+            # time CONSTRUCTION + execution: queries with eager driver-side
+            # work (dedup_clusters' iterative propagation, IVF training,
+            # query-vector .first()) do real cluster work before the
+            # DataFrame exists — timing only _force() under-reported them
+            # (round-3 fix; earlier rounds' per-query numbers for those
+            # queries measured the final read only).
             t0 = time.perf_counter()
-            _force(df)
+            _force(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
         print(f"{name}: {timings[name]:.3f}s", file=sys.stderr)

@@ -54,6 +54,20 @@ CASES = [
         "dropDuplicates exchange at all.",
     ),
     (
+        "stratified_sample",
+        "Two-phase stratified quota sampling: Window #1 partitions on "
+        "(stratum, salt) — a hot language never lands in one task — and "
+        "Window #2 re-ranks only the bounded survivor set. Both window "
+        "sorts are local (SortExec under WindowExec, no global sort).",
+    ),
+    (
+        "curation_pipeline",
+        "End-to-end curation composite: dedup semi-join (two-phase "
+        "salted min) feeding the heuristic-keep projection feeding the "
+        "two-phase quota sample — every stage keeps its standalone "
+        "skew-safe shape when composed.",
+    ),
+    (
         "embedding_near_pairs",
         "Exact cosine pairs: MapInPandas over the scan — broadcast "
         "matmul, zero shuffles, no crossJoin node anywhere.",
