@@ -327,14 +327,81 @@ def minhash_lsh_pairs(
             == F.col("band") + 1
         )
 
-    return _bucket_pair_expansion(
-        members,
+    # Hybrid expansion: interpreted HOF eval costs ~1 us per candidate
+    # comparison, and a family-heavy corpus concentrates most candidates
+    # in a few hundred medium/large buckets (sf1: 85% of 18.5M candidates
+    # live in buckets > 32). Those buckets take an Arrow+numpy route —
+    # one vectorized agreement matrix per bucket — while the long tail of
+    # tiny buckets stays native (per-bucket Python overhead would dwarf
+    # their handful of comparisons). Identical pair set: same i<j
+    # expansion, same first-band-once rule, same integer/num_hashes
+    # division.
+    small = members.where(
+        (F.size("ms") <= _VECTORIZE_FROM) | (F.size("ms") > max_bucket_size)
+    )
+    native = _bucket_pair_expansion(
+        small,
         _pair,
         lambda p: p["est_jaccard"] >= threshold,
         ["id_a", "id_b"],
         max_bucket_size,
         once_guard=_first_band,
     )
+    big = members.where(
+        (F.size("ms") > _VECTORIZE_FROM) & (F.size("ms") <= max_bucket_size)
+    )
+    vectorized = big.mapInPandas(
+        _make_minhash_bucket_fn(num_hashes, threshold),
+        schema="id_a long, id_b long, est_jaccard double",
+    )
+    return native.unionByName(vectorized)
+
+
+# Buckets larger than this go through the vectorized numpy expansion.
+_VECTORIZE_FROM = 32
+
+
+def _make_minhash_bucket_fn(num_hashes: int, threshold: float):
+    """mapInPandas worker for medium/large minhash buckets: one numpy
+    agreement matrix per bucket row. Exact-match math: integer equality
+    count / num_hashes in float64 — bit-identical to the native
+    expression's cast(int)/lit division."""
+
+    def _fn(batches):
+        for pdf in batches:
+            out_a: List[int] = []
+            out_b: List[int] = []
+            out_e: List[float] = []
+            for band, ms in zip(pdf["band"], pdf["ms"]):
+                m = len(ms)
+                ids = np.fromiter((x["id"] for x in ms), dtype=np.int64, count=m)
+                sig = np.array([x["sig"] for x in ms], dtype=np.int64)
+                keys = np.array([x["keys"] for x in ms], dtype=np.int64)
+                eq = np.zeros((m, m), dtype=np.int32)
+                for h in range(num_hashes):
+                    c = sig[:, h]
+                    eq += c[:, None] == c[None, :]
+                # first band where the pair's keys agree (they agree at
+                # `band` by construction, so first_eq is always set)
+                first_eq = np.full((m, m), -1, dtype=np.int8)
+                for b in range(keys.shape[1]):
+                    kb = keys[:, b]
+                    eqb = kb[:, None] == kb[None, :]
+                    first_eq = np.where((first_eq == -1) & eqb, b, first_eq)
+                iu, ju = np.triu_indices(m, 1)
+                est = eq[iu, ju] / float(num_hashes)
+                keep = (est >= threshold) & (first_eq[iu, ju] == band)
+                ia, ib = ids[iu[keep]], ids[ju[keep]]
+                lo = np.minimum(ia, ib)
+                hi = np.maximum(ia, ib)
+                out_a.extend(lo.tolist())
+                out_b.extend(hi.tolist())
+                out_e.extend(est[keep].tolist())
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "est_jaccard": out_e}
+            )
+
+    return _fn
 
 
 def lsh_bucket_stats(
@@ -491,14 +558,69 @@ def hamming_near_pairs(
             == F.col("chunk_idx") + 1
         )
 
-    return _bucket_pair_expansion(
-        members,
+    # Hybrid expansion (see minhash_lsh_pairs): medium/large buckets take
+    # a vectorized numpy pass — xor + 16-bit-LUT popcount — while tiny
+    # buckets stay native. Hamming is integer math, trivially exact.
+    small = members.where(
+        (F.size("ms") <= _VECTORIZE_FROM) | (F.size("ms") > max_bucket_size)
+    )
+    native = _bucket_pair_expansion(
+        small,
         _pair,
         lambda p: p["hamming"] <= max_hamming,
         ["id_a", "id_b"],
         max_bucket_size,
         once_guard=_first_chunk,
     )
+    big = members.where(
+        (F.size("ms") > _VECTORIZE_FROM) & (F.size("ms") <= max_bucket_size)
+    )
+    id_type = dict(df.dtypes)[id_col]
+
+    def _vec_fn(batches):
+        lut = _POPCOUNT16
+        for pdf in batches:
+            out_a, out_b, out_h = [], [], []
+            for chunk_idx, ms in zip(pdf["chunk_idx"], pdf["ms"]):
+                m = len(ms)
+                ids = np.array([x["id"] for x in ms])  # int64 or unicode
+                sh = np.fromiter(
+                    (x["sh"] for x in ms), dtype=np.int64, count=m
+                ).view(np.uint64)
+                keys = np.array([x["keys"] for x in ms], dtype=np.int64)
+                x = sh[:, None] ^ sh[None, :]
+                ham = (
+                    lut[(x & np.uint64(0xFFFF)).astype(np.int64)]
+                    + lut[((x >> np.uint64(16)) & np.uint64(0xFFFF)).astype(np.int64)]
+                    + lut[((x >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.int64)]
+                    + lut[(x >> np.uint64(48)).astype(np.int64)]
+                ).astype(np.int32)
+                first_eq = np.full((m, m), -1, dtype=np.int8)
+                for b in range(keys.shape[1]):
+                    kb = keys[:, b]
+                    eqb = kb[:, None] == kb[None, :]
+                    first_eq = np.where((first_eq == -1) & eqb, b, first_eq)
+                iu, ju = np.triu_indices(m, 1)
+                hv = ham[iu, ju]
+                keep = (hv <= max_hamming) & (first_eq[iu, ju] == chunk_idx)
+                ia, ib = ids[iu[keep]], ids[ju[keep]]
+                # np.minimum has no unicode loop (string ids); < does
+                lt = ia < ib
+                lo, hi = np.where(lt, ia, ib), np.where(lt, ib, ia)
+                out_a.extend(lo.tolist())
+                out_b.extend(hi.tolist())
+                out_h.extend(hv[keep].tolist())
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+
+    vectorized = big.mapInPandas(
+        _vec_fn, schema=f"id_a {id_type}, id_b {id_type}, hamming int"
+    )
+    return native.unionByName(vectorized)
+
+
+_POPCOUNT16 = np.array(
+    [bin(i).count("1") for i in range(1 << 16)], dtype=np.int32
+)
 
 
 def simhash_near_pairs(

@@ -267,14 +267,65 @@ def cosine_near_pairs_lsh(
             == F.col("chunk_idx") + 1
         )
 
-    return _bucket_pair_expansion(
-        members,
+    # Hybrid expansion, mirroring dedup.minhash_lsh_pairs: cosine verify
+    # is a 64-element interpreted fold per candidate, so medium/large
+    # buckets route through a vectorized numpy pass while the tiny-bucket
+    # tail stays native. The numpy dot accumulates LEFT-TO-RIGHT over
+    # components — bit-identical to the HOF fold (numpy's pairwise-sum
+    # dot would round differently and could flip a threshold boundary).
+    from .dedup import _VECTORIZE_FROM
+
+    small = members.where(
+        (F.size("ms") <= _VECTORIZE_FROM) | (F.size("ms") > max_bucket_size)
+    )
+    native = _bucket_pair_expansion(
+        small,
         _pair,
         lambda p: p["cos_sim"] >= threshold,
         ["id_a", "id_b"],
         max_bucket_size,
         once_guard=_first_chunk,
     )
+    big = members.where(
+        (F.size("ms") > _VECTORIZE_FROM) & (F.size("ms") <= max_bucket_size)
+    )
+
+    def _vec_fn(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for chunk_idx, ms in zip(pdf["chunk_idx"], pdf["ms"]):
+                m = len(ms)
+                ids = np.fromiter((x["id"] for x in ms), dtype=np.int64, count=m)
+                vecs = np.array([x["v"] for x in ms], dtype=np.float64)
+                nrm = np.fromiter((x["nrm"] for x in ms), dtype=np.float64,
+                                  count=m)
+                keys = np.array([x["keys"] for x in ms], dtype=np.int64)
+                acc = np.zeros((m, m), dtype=np.float64)
+                for k in range(vecs.shape[1]):  # left-to-right like the fold
+                    c = vecs[:, k]
+                    acc += c[:, None] * c[None, :]
+                cos = acc / (nrm[:, None] * nrm[None, :])
+                first_eq = np.full((m, m), -1, dtype=np.int8)
+                for b in range(keys.shape[1]):
+                    kb = keys[:, b]
+                    eqb = kb[:, None] == kb[None, :]
+                    first_eq = np.where((first_eq == -1) & eqb, b, first_eq)
+                iu, ju = np.triu_indices(m, 1)
+                cs = cos[iu, ju]
+                keep = (cs >= threshold) & (first_eq[iu, ju] == chunk_idx)
+                ia, ib = ids[iu[keep]], ids[ju[keep]]
+                lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+                out_a.extend(lo.tolist())
+                out_b.extend(hi.tolist())
+                out_c.extend(cs[keep].tolist())
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "cos_sim": out_c}
+            )
+
+    vectorized = big.mapInPandas(
+        _vec_fn, schema="id_a long, id_b long, cos_sim double"
+    )
+    return native.unionByName(vectorized)
 
 
 def train_ivf_centroids(

@@ -46,6 +46,12 @@ def get_spark(
         # + minPartitionNum = parallelism keeps split count ≈ max(cores,
         # bytes/128MB) at every cluster size — the same rule that holds on
         # a 1000-executor scan of 100 TB.
+        # Work around a Spark 4.1 optimizer defect: Union.rewriteConstraints
+        # dies with "NoSuchElementException: key not found: <attr>" when a
+        # union-sourced plan feeds two sibling branches (the LSH hybrid
+        # native/vectorized split) — constraint inference only ADDS derived
+        # filters, so disabling it never changes results, only plans.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

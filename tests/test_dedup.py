@@ -250,3 +250,57 @@ def test_phash_near_pairs_finds_planted_flips(spark):
     planted = pairs[pairs.id_b.str.endswith("_re")
                     & (pairs.id_b == pairs.id_a + "_re")]
     assert (planted.hamming == 2).all()
+
+
+def test_vectorized_bucket_expansion_equals_native(spark):
+    """Medium/large buckets route through the numpy expansion; the pair
+    set and est values must be IDENTICAL to the native HOF expansion
+    (same i<j set, same first-band-once rule, same integer/num_hashes
+    division)."""
+    import pandas as pd
+    import pii_filter_spark.operators.dedup as D
+    from pii_filter_spark.operators.dedup import minhash_lsh_pairs
+
+    rows = [(i, "the same boilerplate text repeated in every family row")
+            for i in range(80)]
+    rows += [(1000 + i,
+              f"unique document number {i} with distinct words and content")
+             for i in range(40)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    vec = minhash_lsh_pairs(df, threshold=0.5).toPandas()
+    old = D._VECTORIZE_FROM
+    try:
+        D._VECTORIZE_FROM = 10 ** 9  # force everything native
+        nat = minhash_lsh_pairs(df, threshold=0.5).toPandas()
+    finally:
+        D._VECTORIZE_FROM = old
+    key = lambda d: sorted(zip(d.id_a, d.id_b, d.est_jaccard))
+    assert key(vec) == key(nat)
+    assert len(vec) >= 80 * 79 / 2  # the identical family alone
+
+
+def test_vectorized_hamming_buckets_equal_native(spark):
+    """Hamming hybrid (simhash/phash): LUT-popcount numpy path must match
+    the native bit_count expansion exactly, including string ids."""
+    import pandas as pd
+    import pii_filter_spark.operators.dedup as D
+    from pii_filter_spark.operators.dedup import hamming_near_pairs
+
+    rows = [(f"img_{i:04d}", 0x0123456789ABCDEF) for i in range(60)]
+    rows += [(f"img_{1000+i:04d}", (0x0123456789ABCDEF ^ (1 << (i % 8))))
+             for i in range(20)]          # 1-bit flips of the family hash
+    rows += [(f"img_{2000+i:04d}", (i * 0x9E3779B97F4A7C15) % (1 << 63))
+             for i in range(30)]          # unrelated hashes
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "phash"])
+    )
+    vec = hamming_near_pairs(df, "phash", "image_id", max_hamming=3).toPandas()
+    old = D._VECTORIZE_FROM
+    try:
+        D._VECTORIZE_FROM = 10 ** 9
+        nat = hamming_near_pairs(df, "phash", "image_id", max_hamming=3).toPandas()
+    finally:
+        D._VECTORIZE_FROM = old
+    key = lambda d: sorted(zip(d.id_a, d.id_b, d.hamming))
+    assert key(vec) == key(nat)
+    assert len(vec) >= 60 * 59 / 2

@@ -184,3 +184,29 @@ def test_srp_lsh_degenerate_bucket_guard(spark):
     assert set(pairs.id_b) == set(range(1, n))
     assert (pairs.cos_sim >= 0.999).all()
     assert (pairs.id_b < 100_000).all()   # zero-norm rows dropped
+
+
+def test_vectorized_cosine_buckets_equal_native(spark):
+    """SRP hybrid expansion: numpy left-to-right dot must reproduce the
+    native HOF fold bit-for-bit (pair set and cos values identical)."""
+    import pandas as pd
+    import pii_filter_spark.operators.dedup as D
+    from pii_filter_spark.operators.similarity import cosine_near_pairs_lsh
+
+    rows = [(i, [float(j + 1) * 0.1 for j in range(8)]) for i in range(60)]
+    rows += [(1000 + i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+             for i in range(30)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    )
+    kw = dict(threshold=0.9, planes=16, chunks=4, dim=8)
+    vec = cosine_near_pairs_lsh(df, **kw).toPandas()
+    old = D._VECTORIZE_FROM
+    try:
+        D._VECTORIZE_FROM = 10 ** 9
+        nat = cosine_near_pairs_lsh(df, **kw).toPandas()
+    finally:
+        D._VECTORIZE_FROM = old
+    key = lambda d: sorted(zip(d.id_a, d.id_b, d.cos_sim))  # exact doubles
+    assert key(vec) == key(nat)
+    assert len(vec) >= 60 * 59 / 2  # identical-vector family
