@@ -48,10 +48,13 @@ CASES = [
         "LSH near-dup pairs: signature UDF appears ONCE, above the "
         "exchange (union branches are pure scan+filter — posexplode_outer "
         "avoids the size()>0-below-Generate pushdown that would drag the "
-        "UDF into each branch); one shuffle to bucket; pair expansion, "
-        "first-colliding-band emission, and threshold filtering all "
-        "happen inside the bucket task, so there is NO distinct/"
-        "dropDuplicates exchange at all.",
+        "UDF into each branch); one shuffle to bucket; the bucketed rows "
+        "split into the native HOF expansion (tiny buckets) and a "
+        "vectorized MapInPandas expansion (medium/large buckets) — the "
+        "shared bucket Exchange is computed once (ReusedExchange). Pair "
+        "expansion, first-colliding-band emission, and threshold "
+        "filtering all happen inside the bucket task; NO distinct/"
+        "dropDuplicates exchange anywhere.",
     ),
     (
         "stratified_sample",
