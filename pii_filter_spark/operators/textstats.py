@@ -145,13 +145,14 @@ def repetition_signals(
       * top_word_frac — fraction of word occurrences taken by the single
         most frequent word.
 
-    All native HOFs, one projection pipeline, no shuffle, no Python: the
-    sentence split uses the SAME RE2-safe pattern as the sentence UDTF so
-    DuckDB reproduces it verbatim; word counting is an O(distinct x
-    words) in-row HOF — bounded by document length, embarrassingly
-    row-parallel at any scale. Splits are staged as projections so
-    CollapseProject keeps them materialized instead of re-running the
-    regex per HOF element."""
+    The sentence metrics are in-row HOFs (sentences per doc are few; the
+    split uses the SAME RE2-safe pattern as the sentence UDTF so DuckDB
+    reproduces it verbatim). The top-word count is RELATIONAL — explode
+    words, count per (doc, word), max/sum per doc — because the in-row
+    alternative is O(distinct × words) per document: quadratic on a
+    100k-word web document. The shuffle keys on (doc, word), so hot
+    words do not concentrate (doc_id spreads them), and word counting
+    is strictly linear."""
     sents_raw = F.expr(
         f"regexp_extract_all({text_col}, '[^.!?]+[.!?]*', 0)"
     )
@@ -164,11 +165,6 @@ def repetition_signals(
         F.filter(
             F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
         ).alias("_words"),
-    ).select(
-        id_col,
-        "_sents",
-        "_words",
-        F.array_distinct("_words").alias("_dwords"),
     )
     n_sent = F.size("_sents")
     dup_frac = F.when(
@@ -178,19 +174,28 @@ def repetition_signals(
             - F.size(F.array_distinct("_sents")).cast("double") / n_sent, 4
         ),
     ).otherwise(F.lit(0.0))
-    top_count = F.array_max(
-        F.transform(
-            "_dwords",
-            lambda w: F.size(F.filter("_words", lambda x: x == w)),
-        )
-    )
-    top_frac = F.when(
-        F.size("_words") > 0,
-        F.round(top_count.cast("double") / F.size("_words"), 4),
-    ).otherwise(F.lit(0.0))
-    return staged.select(
+    sent_stats = staged.select(
         id_col,
         n_sent.alias("n_sentences"),
         dup_frac.alias("dup_sent_frac"),
+        F.size("_words").alias("_n_words"),
+    )
+    word_counts = (
+        staged.select(id_col, F.explode_outer("_words").alias("_w"))
+        .where(F.col("_w").isNotNull())
+        .groupBy(id_col, "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_top"))
+    )
+    joined = sent_stats.join(word_counts, id_col, "left")
+    top_frac = F.when(
+        F.col("_n_words") > 0,
+        F.round(F.col("_top").cast("double") / F.col("_n_words"), 4),
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        id_col,
+        "n_sentences",
+        "dup_sent_frac",
         top_frac.alias("top_word_frac"),
     )
