@@ -350,9 +350,10 @@ def minhash_lsh_pairs(
     big = members.where(
         (F.size("ms") > _VECTORIZE_FROM) & (F.size("ms") <= max_bucket_size)
     )
+    id_type = dict(df.dtypes)[id_col]
     vectorized = big.mapInPandas(
         _make_minhash_bucket_fn(num_hashes, threshold),
-        schema="id_a long, id_b long, est_jaccard double",
+        schema=f"id_a {id_type}, id_b {id_type}, est_jaccard double",
     )
     return native.unionByName(vectorized)
 
@@ -374,7 +375,7 @@ def _make_minhash_bucket_fn(num_hashes: int, threshold: float):
             out_e: List[float] = []
             for band, ms in zip(pdf["band"], pdf["ms"]):
                 m = len(ms)
-                ids = np.fromiter((x["id"] for x in ms), dtype=np.int64, count=m)
+                ids = np.array([x["id"] for x in ms])  # int64 or unicode
                 sig = np.array([x["sig"] for x in ms], dtype=np.int64)
                 keys = np.array([x["keys"] for x in ms], dtype=np.int64)
                 eq = np.zeros((m, m), dtype=np.int32)
@@ -392,8 +393,9 @@ def _make_minhash_bucket_fn(num_hashes: int, threshold: float):
                 est = eq[iu, ju] / float(num_hashes)
                 keep = (est >= threshold) & (first_eq[iu, ju] == band)
                 ia, ib = ids[iu[keep]], ids[ju[keep]]
-                lo = np.minimum(ia, ib)
-                hi = np.maximum(ia, ib)
+                # np.minimum has no unicode loop (string ids); < does
+                lt = ia < ib
+                lo, hi = np.where(lt, ia, ib), np.where(lt, ib, ia)
                 out_a.extend(lo.tolist())
                 out_b.extend(hi.tolist())
                 out_e.extend(est[keep].tolist())

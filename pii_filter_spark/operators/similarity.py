@@ -295,7 +295,7 @@ def cosine_near_pairs_lsh(
             out_a, out_b, out_c = [], [], []
             for chunk_idx, ms in zip(pdf["chunk_idx"], pdf["ms"]):
                 m = len(ms)
-                ids = np.fromiter((x["id"] for x in ms), dtype=np.int64, count=m)
+                ids = np.array([x["id"] for x in ms])  # int64 or unicode
                 vecs = np.array([x["v"] for x in ms], dtype=np.float64)
                 nrm = np.fromiter((x["nrm"] for x in ms), dtype=np.float64,
                                   count=m)
@@ -314,7 +314,8 @@ def cosine_near_pairs_lsh(
                 cs = cos[iu, ju]
                 keep = (cs >= threshold) & (first_eq[iu, ju] == chunk_idx)
                 ia, ib = ids[iu[keep]], ids[ju[keep]]
-                lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+                lt = ia < ib  # np.minimum has no unicode loop (string ids)
+                lo, hi = np.where(lt, ia, ib), np.where(lt, ib, ia)
                 out_a.extend(lo.tolist())
                 out_b.extend(hi.tolist())
                 out_c.extend(cs[keep].tolist())
@@ -322,8 +323,9 @@ def cosine_near_pairs_lsh(
                 {"id_a": out_a, "id_b": out_b, "cos_sim": out_c}
             )
 
+    id_type = dict(df.dtypes)[id_col]
     vectorized = big.mapInPandas(
-        _vec_fn, schema="id_a long, id_b long, cos_sim double"
+        _vec_fn, schema=f"id_a {id_type}, id_b {id_type}, cos_sim double"
     )
     return native.unionByName(vectorized)
 
