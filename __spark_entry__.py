@@ -187,37 +187,12 @@ def q_doc_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_filter_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4/Gopher SQL-expressible rule subset: keep decision per doc.
+    """C4/Gopher SQL-expressible rule subset: keep decision per doc
+    (operators/quality_stage.heuristic_keep — shared with the curation
+    composite so thresholds cannot drift)."""
+    from pii_filter_spark.operators.quality_stage import heuristic_keep
 
-    Staged selects materialize the token split / counts once per row
-    instead of re-evaluating the split inside every rule predicate.
-    """
-    c = F.col("text")
-    staged = (
-        _docs(spark, sf_dir)
-        .select("doc_id", c, F.split(F.trim(c), r"\s+").alias("toks"))
-        .select(
-            "doc_id",
-            c,
-            F.size("toks").alias("wc"),
-            F.aggregate("toks", F.lit(0), lambda a, t: a + F.length(t))
-            .cast("double")
-            .alias("tok_chars"),
-            (F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))).alias(
-                "hashes"
-            ),
-        )
-    )
-    wc = F.col("wc")
-    mean_len = F.col("tok_chars") / wc
-    keep = (
-        (wc >= 3) & (wc <= 256)
-        & (mean_len >= 2.0) & (mean_len <= 14.0)
-        & ~F.contains(F.lower(c), F.lit("lorem ipsum"))
-        & ~F.contains(c, F.lit("{"))
-        & (F.col("hashes").cast("double") / wc <= 0.1)
-    )
-    return staged.select("doc_id", keep.alias("keep"))
+    return heuristic_keep(_docs(spark, sf_dir), "text", ["doc_id"])
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -596,35 +571,22 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pii_filter_spark.operators.dedup import dedup_exact
     from pii_filter_spark.operators.textstats import stratified_take
 
+    from pii_filter_spark.operators.quality_stage import heuristic_keep
+
     docs = _docs(spark, sf_dir)
     survivors = dedup_exact(docs)
-    c = F.col("text")
-    staged = survivors.select(
-        "doc_id", "lang", c, F.split(F.trim(c), r"\s+").alias("toks")
-    ).select(
-        "doc_id", "lang", c,
-        F.size("toks").alias("wc"),
-        F.aggregate("toks", F.lit(0), lambda a, t: a + F.length(t))
-        .cast("double").alias("tok_chars"),
-        (F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))).alias(
-            "hashes"),
+    kept = (
+        heuristic_keep(survivors, "text", ["doc_id", "lang"])
+        .where(F.col("keep"))
+        .select("doc_id", "lang")
     )
-    wc = F.col("wc")
-    mean_len = F.col("tok_chars") / wc
-    keep = (
-        (wc >= 3) & (wc <= 256)
-        & (mean_len >= 2.0) & (mean_len <= 14.0)
-        & ~F.contains(F.lower(c), F.lit("lorem ipsum"))
-        & ~F.contains(c, F.lit("{"))
-        & (F.col("hashes").cast("double") / wc <= 0.1)
-    )
-    kept = staged.where(keep).select("doc_id", "lang")
     return stratified_take(kept, "lang", 10)
 
 
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition signals (dup-sentence fraction, top-word
-    fraction) per document — native HOFs, no shuffle, no Python."""
+    """Gopher-style repetition signals per document: sentence metrics as
+    in-row HOFs, top-word count RELATIONAL (explode + (doc, word)
+    groupBy + max/sum) — linear at any document length; no Python."""
     from pii_filter_spark.operators.textstats import repetition_signals
 
     return repetition_signals(_docs(spark, sf_dir))

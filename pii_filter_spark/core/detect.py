@@ -96,25 +96,29 @@ def _scan_regions(text: str) -> List[List[int]]:
 def find_regex_matches(text: str, validate: bool = True) -> List[Detection]:
     """Scan the five PII patterns in declared order; validated candidates.
 
-    Candidate order parity note: EMAIL is appended after the digit
-    patterns instead of in declared position. This cannot change
-    resolution results: within an overlap group min() ties only matter
-    between equal priorities, and the only priority-1 peers are CPF and
-    EMAIL — CPF is still appended first, so a CPF/EMAIL same-start tie
-    keeps CPF exactly as the declared-order scan does.
+    Candidates are buffered per type and concatenated in PII_PATTERNS
+    declaration order, so the output is byte-identical to the naive
+    declared-order whole-text scan. This matters beyond min() ties:
+    resolve_regex_overlaps anchors each overlap group on the FIRST
+    candidate at a given start after a stable sort, and the anchor's end
+    defines the group window — emitting EMAIL after TELEFONE/CEP (an
+    earlier version did) made a later-listed pattern the anchor on
+    crafted inputs and produced two OVERLAPPING survivors where the
+    reference scan produces one.
     """
-    found: List[Detection] = []
     regions = _scan_regions(text)
     if not regions:
-        return found
+        return []
+    per_type: Dict[str, List[Detection]] = {}
 
     def _emit(pii_type, pattern, bounds):
+        out = per_type.setdefault(pii_type, [])
         for rs, rend in bounds:
             for m in pattern.finditer(text, rs, rend):
                 value = m.group(0)
                 if validate and not validate_pii(pii_type, value):
                     continue
-                found.append(
+                out.append(
                     {
                         "type": pii_type,
                         "value": value,
@@ -139,6 +143,9 @@ def find_regex_matches(text: str, validate: bool = True) -> List[Detection]:
                 email_regions.append([s, e])
             at = text.find("@", at + 1)
         _emit("EMAIL", PII_PATTERNS["EMAIL"], email_regions)
+    found: List[Detection] = []
+    for pii_type in PII_PATTERNS:
+        found.extend(per_type.get(pii_type, []))
     return found
 
 

@@ -167,7 +167,18 @@ _SYM = None  # sentinel: rule is gated by _SYM_RE, not by tokens
 
 
 def _first_words(phrases) -> frozenset:
-    return frozenset(p.split()[0].lower() for p in phrases)
+    """Gate token per phrase: the first word — but tokenized the same way
+    texts are (\w+), so a hyphenated phrase like "não-concorrência"
+    gates on its LONGEST \w chunk ("concorrência": rarer than "não" and
+    guaranteed present when the phrase matches). A gate token that can
+    never appear in the \w+ token set would make its phrase undetectable.
+    """
+    out = set()
+    for p in phrases:
+        first = p.split()[0].lower()
+        parts = _WORD_RE.findall(first)
+        out.add(max(parts, key=len) if parts else first)
+    return frozenset(out)
 
 
 _AMT = r"(?:R\$|US\$|USD|EUR|GBP|€|£)\s?[\d.]+,\d{2}"
@@ -271,8 +282,8 @@ SENSITIVE_RULES: List[Tuple[str, re.Pattern, int, Any]] = [
          "proventos", "piso", "renda", "rendimento", "rendimentos",
          "bolsa", "bolsas", "labore",
          "terço", "terco", "constitucional", "bruto", "reajustado",
-         "reajustada", "cachê", "cache", "pacote", "líquido", "liquido",
-         "iniciando", "finalizando"})),
+         "reajustada", "cachê", "cache", "cachês", "caches", "pacote",
+         "líquido", "liquido", "iniciando", "finalizando"})),
     # "ajustar o salário de R$X para R$Y" — the second amount is the
     # (new) salary; "R$X atuais" — current-salary comparisons
     ("SALARIO", re.compile(

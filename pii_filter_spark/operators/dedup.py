@@ -55,10 +55,11 @@ def _normalize_expr(col):
 DEFAULT_MAX_BUCKET = 2048
 
 
-def _bucket_pair_expansion(
-    members, make_pair, keep, pair_cols, max_bucket_size, once_guard=None
-):
-    """Expand each bucket's member array `ms` into candidate pairs.
+def _bucket_pair_expansion(members, make_pair, keep, max_bucket_size):
+    """Expand each bucket's member array `ms` into candidate pairs
+    (NOT deduplicated — a pair colliding in several bands is emitted once
+    per band; the caller applies one dropDuplicates after unioning the
+    native and vectorized branches).
 
     Buckets at or under `max_bucket_size` get the exact i<j quadratic
     expansion (the normal case: LSH buckets are tiny on real near-dup
@@ -68,24 +69,15 @@ def _bucket_pair_expansion(
     other member, O(m) pairs. Every true duplicate stays reachable from
     the bucket representative (connected components still merge the whole
     cluster and survivor selection is unchanged); only pair EXHAUSTIVENESS
-    inside a pathological bucket is traded for bounded work. The sorted
-    array and its head are staged as projections — referencing
+    inside THAT pathological bucket is traded for bounded work — a pair
+    that also collides in any normal-sized bucket is still found there.
+    (A "first-colliding-band-only" emission guard was tried and REVERTED:
+    it silently dropped pairs whose first collision landed in a starred
+    oversized bucket even when a later normal bucket contained them.)
+    The sorted array and its head are staged as projections — referencing
     array_sort(...) inside the HOF lambda would re-sort per element
     (Catalyst does not hoist loop-invariant subexpressions out of
     lambdas).
-
-    `once_guard(x, y)` (optional) must be true only for the FIRST
-    band/chunk in which the pair collides (one zip_with over the staged
-    per-band key arrays + array_position). With it, each unordered pair
-    is emitted exactly once across all bands: the verify expression in
-    make_pair runs once per pair instead of once per colliding band
-    (near-dup families collide in ALL bands), and the final
-    dropDuplicates shuffle disappears entirely. Wall-clock on the sf1
-    family-heavy corpus is within steal noise of the unguarded shape
-    (the 18.5M-candidate expansion dominates either way), but the plan
-    has one less shuffle and per-pair-constant verify cost — the shape
-    that survives a 100× scale-up. Without it, pairs deduplicate by
-    `pair_cols`.
     """
     big = F.size("ms") > max_bucket_size
     staged = (
@@ -94,12 +86,9 @@ def _bucket_pair_expansion(
     )
 
     def _expand(x, candidates):
-        cands = (
-            F.filter(candidates, lambda y: once_guard(x, y))
-            if once_guard is not None
-            else candidates
+        return F.filter(
+            F.transform(candidates, lambda y: make_pair(x, y)), keep
         )
-        return F.filter(F.transform(cands, lambda y: make_pair(x, y)), keep)
 
     quad = F.flatten(
         F.transform(
@@ -107,10 +96,17 @@ def _bucket_pair_expansion(
         )
     )
     star = _expand(F.col("_x0"), F.slice("_srt", 2, F.size("_srt")))
-    out = staged.select(
+    return staged.select(
         F.explode(F.when(big, star).otherwise(quad)).alias("p")
     ).select("p.*")
-    return out if once_guard is not None else out.dropDuplicates(pair_cols)
+
+
+def _ordered_id_pairs(ids, iu, ju, keep):
+    """Normalize kept (i, j) index pairs to (min_id, max_id) arrays.
+    np.where-based: np.minimum has no unicode loop for string ids."""
+    ia, ib = ids[iu[keep]], ids[ju[keep]]
+    lt = ia < ib
+    return np.where(lt, ia, ib), np.where(lt, ib, ia)
 
 
 # --------------------------------------------------------------------------
@@ -276,9 +272,9 @@ def minhash_lsh_pairs(
         ).alias("keys"),
     )
     banded = keyed.select(
-        F.struct(
-            F.col(id_col).alias("id"), F.col("sig"), F.col("keys")
-        ).alias("m"),
+        # keys are NOT carried in the member struct — only the banding
+        # columns need them, and they'd add 128 B/member to the shuffle
+        F.struct(F.col(id_col).alias("id"), F.col("sig")).alias("m"),
         # posexplode_outer, NOT posexplode: plain posexplode makes Catalyst
         # insert a size(keys)>0 pre-filter below the Generate, which drags
         # the signature UDF below the repartition exchange into each union
@@ -314,28 +310,16 @@ def minhash_lsh_pairs(
             _est(x, y).alias("est_jaccard"),
         )
 
-    # True only in the FIRST band the pair collides in: the position of
-    # the first equal band key is this band. One small zip_with per
-    # candidate — a slice-based prefix comparison was measured SLOWER
-    # than the unguarded est (3 array allocations per candidate-band).
-    def _first_band(x, y):
-        return (
-            F.array_position(
-                F.zip_with(x["keys"], y["keys"], lambda a, b: a == b),
-                F.lit(True),
-            )
-            == F.col("band") + 1
-        )
-
     # Hybrid expansion: interpreted HOF eval costs ~1 us per candidate
     # comparison, and a family-heavy corpus concentrates most candidates
     # in a few hundred medium/large buckets (sf1: 85% of 18.5M candidates
     # live in buckets > 32). Those buckets take an Arrow+numpy route —
     # one vectorized agreement matrix per bucket — while the long tail of
     # tiny buckets stays native (per-bucket Python overhead would dwarf
-    # their handful of comparisons). Identical pair set: same i<j
-    # expansion, same first-band-once rule, same integer/num_hashes
-    # division.
+    # their handful of comparisons). A pair colliding in several bands is
+    # emitted once per colliding band (identical est every time — it only
+    # depends on the signatures); ONE dropDuplicates over the unioned
+    # branches keeps each pair once.
     small = members.where(
         (F.size("ms") <= _VECTORIZE_FROM) | (F.size("ms") > max_bucket_size)
     )
@@ -343,9 +327,7 @@ def minhash_lsh_pairs(
         small,
         _pair,
         lambda p: p["est_jaccard"] >= threshold,
-        ["id_a", "id_b"],
         max_bucket_size,
-        once_guard=_first_band,
     )
     big = members.where(
         (F.size("ms") > _VECTORIZE_FROM) & (F.size("ms") <= max_bucket_size)
@@ -355,7 +337,7 @@ def minhash_lsh_pairs(
         _make_minhash_bucket_fn(num_hashes, threshold),
         schema=f"id_a {id_type}, id_b {id_type}, est_jaccard double",
     )
-    return native.unionByName(vectorized)
+    return native.unionByName(vectorized).dropDuplicates(["id_a", "id_b"])
 
 
 # Buckets larger than this go through the vectorized numpy expansion.
@@ -370,32 +352,21 @@ def _make_minhash_bucket_fn(num_hashes: int, threshold: float):
 
     def _fn(batches):
         for pdf in batches:
-            out_a: List[int] = []
-            out_b: List[int] = []
+            out_a: List = []
+            out_b: List = []
             out_e: List[float] = []
-            for band, ms in zip(pdf["band"], pdf["ms"]):
+            for ms in pdf["ms"]:
                 m = len(ms)
                 ids = np.array([x["id"] for x in ms])  # int64 or unicode
                 sig = np.array([x["sig"] for x in ms], dtype=np.int64)
-                keys = np.array([x["keys"] for x in ms], dtype=np.int64)
                 eq = np.zeros((m, m), dtype=np.int32)
                 for h in range(num_hashes):
                     c = sig[:, h]
                     eq += c[:, None] == c[None, :]
-                # first band where the pair's keys agree (they agree at
-                # `band` by construction, so first_eq is always set)
-                first_eq = np.full((m, m), -1, dtype=np.int8)
-                for b in range(keys.shape[1]):
-                    kb = keys[:, b]
-                    eqb = kb[:, None] == kb[None, :]
-                    first_eq = np.where((first_eq == -1) & eqb, b, first_eq)
                 iu, ju = np.triu_indices(m, 1)
                 est = eq[iu, ju] / float(num_hashes)
-                keep = (est >= threshold) & (first_eq[iu, ju] == band)
-                ia, ib = ids[iu[keep]], ids[ju[keep]]
-                # np.minimum has no unicode loop (string ids); < does
-                lt = ia < ib
-                lo, hi = np.where(lt, ia, ib), np.where(lt, ib, ia)
+                keep = est >= threshold
+                lo, hi = _ordered_id_pairs(ids, iu, ju, keep)
                 out_a.extend(lo.tolist())
                 out_b.extend(hi.tolist())
                 out_e.extend(est[keep].tolist())
@@ -530,11 +501,7 @@ def hamming_near_pairs(
         ).alias("keys"),
     )
     chunks = keyed.select(
-        F.struct(
-            F.col(id_col).alias("id"),
-            F.col("_h").alias("sh"),
-            F.col("keys"),
-        ).alias("m"),
+        F.struct(F.col(id_col).alias("id"), F.col("_h").alias("sh")).alias("m"),
         F.posexplode_outer("keys").alias("chunk_idx", "chunk_val"),  # see
         # minhash_lsh_pairs note on the explode-over-UDF pre-filter trap
     )
@@ -551,18 +518,10 @@ def hamming_near_pairs(
             F.bit_count(x["sh"].bitwiseXOR(y["sh"])).alias("hamming"),
         )
 
-    def _first_chunk(x, y):
-        return (
-            F.array_position(
-                F.zip_with(x["keys"], y["keys"], lambda a, b: a == b),
-                F.lit(True),
-            )
-            == F.col("chunk_idx") + 1
-        )
-
     # Hybrid expansion (see minhash_lsh_pairs): medium/large buckets take
     # a vectorized numpy pass — xor + 16-bit-LUT popcount — while tiny
-    # buckets stay native. Hamming is integer math, trivially exact.
+    # buckets stay native. Hamming is integer math, trivially exact; one
+    # dropDuplicates over the unioned branches keeps each pair once.
     small = members.where(
         (F.size("ms") <= _VECTORIZE_FROM) | (F.size("ms") > max_bucket_size)
     )
@@ -570,9 +529,7 @@ def hamming_near_pairs(
         small,
         _pair,
         lambda p: p["hamming"] <= max_hamming,
-        ["id_a", "id_b"],
         max_bucket_size,
-        once_guard=_first_chunk,
     )
     big = members.where(
         (F.size("ms") > _VECTORIZE_FROM) & (F.size("ms") <= max_bucket_size)
@@ -583,13 +540,12 @@ def hamming_near_pairs(
         lut = _POPCOUNT16
         for pdf in batches:
             out_a, out_b, out_h = [], [], []
-            for chunk_idx, ms in zip(pdf["chunk_idx"], pdf["ms"]):
+            for ms in pdf["ms"]:
                 m = len(ms)
                 ids = np.array([x["id"] for x in ms])  # int64 or unicode
                 sh = np.fromiter(
                     (x["sh"] for x in ms), dtype=np.int64, count=m
                 ).view(np.uint64)
-                keys = np.array([x["keys"] for x in ms], dtype=np.int64)
                 x = sh[:, None] ^ sh[None, :]
                 ham = (
                     lut[(x & np.uint64(0xFFFF)).astype(np.int64)]
@@ -597,18 +553,10 @@ def hamming_near_pairs(
                     + lut[((x >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.int64)]
                     + lut[(x >> np.uint64(48)).astype(np.int64)]
                 ).astype(np.int32)
-                first_eq = np.full((m, m), -1, dtype=np.int8)
-                for b in range(keys.shape[1]):
-                    kb = keys[:, b]
-                    eqb = kb[:, None] == kb[None, :]
-                    first_eq = np.where((first_eq == -1) & eqb, b, first_eq)
                 iu, ju = np.triu_indices(m, 1)
                 hv = ham[iu, ju]
-                keep = (hv <= max_hamming) & (first_eq[iu, ju] == chunk_idx)
-                ia, ib = ids[iu[keep]], ids[ju[keep]]
-                # np.minimum has no unicode loop (string ids); < does
-                lt = ia < ib
-                lo, hi = np.where(lt, ia, ib), np.where(lt, ib, ia)
+                keep = hv <= max_hamming
+                lo, hi = _ordered_id_pairs(ids, iu, ju, keep)
                 out_a.extend(lo.tolist())
                 out_b.extend(hi.tolist())
                 out_h.extend(hv[keep].tolist())
@@ -617,7 +565,7 @@ def hamming_near_pairs(
     vectorized = big.mapInPandas(
         _vec_fn, schema=f"id_a {id_type}, id_b {id_type}, hamming int"
     )
-    return native.unionByName(vectorized)
+    return native.unionByName(vectorized).dropDuplicates(["id_a", "id_b"])
 
 
 _POPCOUNT16 = np.array(

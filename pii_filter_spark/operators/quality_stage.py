@@ -172,3 +172,37 @@ def quality_stage(
             if name != "nonempty":
                 out = out.withColumn(name, col)
     return out
+
+
+def heuristic_keep(df, text_col: str, carry_cols):
+    """SQL-expressible C4/Gopher rule subset as a reusable stage: returns
+    (carry_cols..., keep boolean) with the token split staged once per
+    row. Shared by the standalone quality_filter_heuristic driver query
+    and the curation_pipeline composite so the thresholds cannot drift
+    between them (their DuckDB oracles render the same rules)."""
+    from pyspark.sql import functions as F
+
+    c = F.col(text_col)
+    staged = df.select(
+        *carry_cols, c, F.split(F.trim(c), r"\s+").alias("_toks")
+    ).select(
+        *carry_cols,
+        c,
+        F.size("_toks").alias("_wc"),
+        F.aggregate("_toks", F.lit(0), lambda a, t: a + F.length(t))
+        .cast("double")
+        .alias("_tok_chars"),
+        (F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))).alias(
+            "_hashes"
+        ),
+    )
+    wc = F.col("_wc")
+    mean_len = F.col("_tok_chars") / wc
+    keep = (
+        (wc >= 3) & (wc <= 256)
+        & (mean_len >= 2.0) & (mean_len <= 14.0)
+        & ~F.contains(F.lower(c), F.lit("lorem ipsum"))
+        & ~F.contains(c, F.lit("{"))
+        & (F.col("_hashes").cast("double") / wc <= 0.1)
+    )
+    return staged.select(*carry_cols, keep.alias("keep"))

@@ -194,7 +194,7 @@ def cosine_near_pairs_lsh(
     id_col: str = "vec_id",
     seed: int = 31,
     dim: int = 64,
-    max_bucket_size: int = 2048,
+    max_bucket_size: int = None,
 ) -> DataFrame:
     """Scale path: SRP-signature chunk bucketing (any pair of vectors at
     angle <= theta agrees on a whole chunk with high probability), bucket
@@ -212,7 +212,15 @@ def cosine_near_pairs_lsh(
     loop-invariant subexpressions out of HOF lambdas). Zero-norm vectors
     are dropped up front: they have no cosine direction and would
     otherwise emit NaN pairs silently."""
-    from .dedup import _bucket_pair_expansion
+    from .dedup import (
+        DEFAULT_MAX_BUCKET,
+        _VECTORIZE_FROM,
+        _bucket_pair_expansion,
+        _ordered_id_pairs,
+    )
+
+    if max_bucket_size is None:
+        max_bucket_size = DEFAULT_MAX_BUCKET
     bits_per = planes // chunks
     mask = (1 << bits_per) - 1
     sig_udf = srp_signature_udf(dim, planes, seed)
@@ -225,18 +233,18 @@ def cosine_near_pairs_lsh(
             F.col(id_col).alias("id"),
             F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
             _norm_expr(F.col(vec_col)).alias("nrm"),
-            F.array(
-                *[
-                    F.shiftright("_sig", bits_per * i).bitwiseAND(F.lit(mask))
-                    for i in range(chunks)
-                ]
-            ).alias("keys"),
         ).alias("m"),
+        F.array(
+            *[
+                F.shiftright("_sig", bits_per * i).bitwiseAND(F.lit(mask))
+                for i in range(chunks)
+            ]
+        ).alias("keys"),
     ).where(F.col("m.nrm") > 0)
     chunked = sigs.select(
         # outer: plain posexplode inserts a size>0 pre-filter below the
         # Generate that drags the SRP UDF below the exchange (double eval)
-        "m", F.posexplode_outer(F.col("m.keys")).alias("chunk_idx", "chunk_val")
+        "m", F.posexplode_outer("keys").alias("chunk_idx", "chunk_val")
     )
     members = (
         chunked.groupBy("chunk_idx", "chunk_val")
@@ -258,23 +266,14 @@ def cosine_near_pairs_lsh(
             _cos(x, y).alias("cos_sim"),
         )
 
-    def _first_chunk(x, y):
-        return (
-            F.array_position(
-                F.zip_with(x["keys"], y["keys"], lambda a, b: a == b),
-                F.lit(True),
-            )
-            == F.col("chunk_idx") + 1
-        )
-
     # Hybrid expansion, mirroring dedup.minhash_lsh_pairs: cosine verify
     # is a 64-element interpreted fold per candidate, so medium/large
     # buckets route through a vectorized numpy pass while the tiny-bucket
     # tail stays native. The numpy dot accumulates LEFT-TO-RIGHT over
     # components — bit-identical to the HOF fold (numpy's pairwise-sum
     # dot would round differently and could flip a threshold boundary).
-    from .dedup import _VECTORIZE_FROM
-
+    # One dropDuplicates over the union keeps each pair once (the cosine
+    # is identical in every colliding chunk).
     small = members.where(
         (F.size("ms") <= _VECTORIZE_FROM) | (F.size("ms") > max_bucket_size)
     )
@@ -282,9 +281,7 @@ def cosine_near_pairs_lsh(
         small,
         _pair,
         lambda p: p["cos_sim"] >= threshold,
-        ["id_a", "id_b"],
         max_bucket_size,
-        once_guard=_first_chunk,
     )
     big = members.where(
         (F.size("ms") > _VECTORIZE_FROM) & (F.size("ms") <= max_bucket_size)
@@ -293,29 +290,21 @@ def cosine_near_pairs_lsh(
     def _vec_fn(batches):
         for pdf in batches:
             out_a, out_b, out_c = [], [], []
-            for chunk_idx, ms in zip(pdf["chunk_idx"], pdf["ms"]):
+            for ms in pdf["ms"]:
                 m = len(ms)
                 ids = np.array([x["id"] for x in ms])  # int64 or unicode
                 vecs = np.array([x["v"] for x in ms], dtype=np.float64)
                 nrm = np.fromiter((x["nrm"] for x in ms), dtype=np.float64,
                                   count=m)
-                keys = np.array([x["keys"] for x in ms], dtype=np.int64)
                 acc = np.zeros((m, m), dtype=np.float64)
                 for k in range(vecs.shape[1]):  # left-to-right like the fold
                     c = vecs[:, k]
                     acc += c[:, None] * c[None, :]
                 cos = acc / (nrm[:, None] * nrm[None, :])
-                first_eq = np.full((m, m), -1, dtype=np.int8)
-                for b in range(keys.shape[1]):
-                    kb = keys[:, b]
-                    eqb = kb[:, None] == kb[None, :]
-                    first_eq = np.where((first_eq == -1) & eqb, b, first_eq)
                 iu, ju = np.triu_indices(m, 1)
                 cs = cos[iu, ju]
-                keep = (cs >= threshold) & (first_eq[iu, ju] == chunk_idx)
-                ia, ib = ids[iu[keep]], ids[ju[keep]]
-                lt = ia < ib  # np.minimum has no unicode loop (string ids)
-                lo, hi = np.where(lt, ia, ib), np.where(lt, ib, ia)
+                keep = cs >= threshold
+                lo, hi = _ordered_id_pairs(ids, iu, ju, keep)
                 out_a.extend(lo.tolist())
                 out_b.extend(hi.tolist())
                 out_c.extend(cs[keep].tolist())
@@ -327,7 +316,7 @@ def cosine_near_pairs_lsh(
     vectorized = big.mapInPandas(
         _vec_fn, schema=f"id_a {id_type}, id_b {id_type}, cos_sim double"
     )
-    return native.unionByName(vectorized)
+    return native.unionByName(vectorized).dropDuplicates(["id_a", "id_b"])
 
 
 def train_ivf_centroids(

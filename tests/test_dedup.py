@@ -304,3 +304,26 @@ def test_vectorized_hamming_buckets_equal_native(spark):
     key = lambda d: sorted(zip(d.id_a, d.id_b, d.hamming))
     assert key(vec) == key(nat)
     assert len(vec) >= 60 * 59 / 2
+
+
+def test_star_reroute_does_not_mask_pairs_found_in_normal_buckets(spark):
+    """Round-3 review regression: ids 90/91 are hamming-1 near-dups that
+    share an OVERSIZED chunk-0 bucket (starred, only min-id pairs) AND a
+    normal-sized chunk-1 bucket. The normal bucket must still emit the
+    pair — a first-colliding-chunk emission guard silently dropped it."""
+    from pii_filter_spark.operators.dedup import hamming_near_pairs
+
+    base = 0x0123000000000000  # chunks 1-3 vary below; chunk 0 = 0x0123? no:
+    # construct: all rows share chunk 3 (bits 48-63) -> oversized bucket;
+    # rows 90,91 additionally share chunks 0-2 except one flipped bit.
+    rows = []
+    for i in range(6):
+        rows.append((i, (0x4444 << 48) | (i * 0x1111_2222_3333) & 0xFFFFFFFFFFFF))
+    # 90/91: share chunk 3 (oversized bucket) AND chunks 1,2; differ by 1 bit in chunk 0
+    rows.append((90, (0x4444 << 48) | 0x0AAA_BBBB_C000))
+    rows.append((91, (0x4444 << 48) | 0x0AAA_BBBB_C001))
+    df = spark.createDataFrame(rows, "doc_id long, h long")
+    pairs = hamming_near_pairs(df, "h", "doc_id", max_hamming=3,
+                               max_bucket_size=4).toPandas()
+    got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    assert (90, 91) in got, got
