@@ -51,10 +51,11 @@ CASES = [
         "UDF into each branch); one shuffle to bucket; the bucketed rows "
         "split into the native HOF expansion (tiny buckets) and a "
         "vectorized MapInPandas expansion (medium/large buckets) — the "
-        "shared bucket Exchange is computed once (ReusedExchange). Pair "
-        "expansion, first-colliding-band emission, and threshold "
-        "filtering all happen inside the bucket task; NO distinct/"
-        "dropDuplicates exchange anywhere.",
+        "shared bucket shuffle materializes once (AQE stage reuse; "
+        "measured: identical stage/task counts with the vectorized "
+        "branch on or off). Pair expansion and threshold filtering "
+        "happen inside the bucket task; one dropDuplicates over the "
+        "unioned branches keeps each multi-band pair once.",
     ),
     (
         "stratified_sample",
