@@ -3,11 +3,11 @@
 entry(spark)   — flagship: PII/toxicity scrub + quality filter over the
                  sf0.001 documents table with deterministic PII clauses
                  appended (the engine's core semantics end-to-end).
-queries()      — 51 callables covering the operator families of
+queries()      — 52 callables covering the operator families of
                  SURVEY.md §2 plus the north-rule/training-data
                  additions (see COVERAGE.md for the full map).
 oracle_sql()   — a DuckDB oracle for EVERY query: 32 plain SQL
-                 equivalents, 19 computed-literal fixture oracles for
+                 equivalents, 20 computed-literal fixture oracles for
                  the model-backed ops (langid, perplexity, minhash,
                  simhash, SRP-LSH, IVF, pair queries, image/audio/video
                  stages) — see pii_filter_spark/oracle_support.py.
@@ -788,6 +788,25 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+def q_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN: exact cosine top-5 for the first 5 embedding vectors in
+    ONE pass — partition-local top-k accumulation, tiny global re-rank
+    (operators/similarity.cosine_topk_batch)."""
+    import numpy as np
+
+    from pii_filter_spark.operators.similarity import cosine_topk_batch
+
+    qrows = (
+        _emb(spark, sf_dir).where(F.col("vec_id") < 5)
+        .orderBy("vec_id").collect()
+    )
+    queries = np.array([[float(x) for x in r["embedding"]] for r in qrows])
+    out = cosine_topk_batch(_emb(spark, sf_dir), queries, k=5)
+    return out.select(
+        "query_idx", "vec_id", F.round("cos_sim", 4).alias("cos_sim"), "rank"
+    )
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets surface: ROLLUP over (event_type, user bucket)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -886,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_batch": q_ann_batch,
         "events_rollup": q_events_rollup,
         "set_ops": q_set_ops,
         "quality_full": q_quality_full,
@@ -1328,6 +1348,7 @@ def _fixture_oracles() -> dict[str, str]:
         ("minhash_signatures", osup.minhash_sql),
         ("ann_lsh", osup.ann_lsh_sql),
         ("ann_ivf", osup.ann_ivf_sql),
+        ("ann_batch", osup.ann_batch_sql),
         ("embedding_near_pairs_lsh", osup.emb_near_pairs_lsh_sql),
     ]:
         try:

@@ -399,3 +399,91 @@ def cosine_topk_ivf(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def cosine_topk_batch(
+    df: DataFrame,
+    queries: "np.ndarray",
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of query vectors (Q x D numpy) —
+    the realistic retrieval shape (one driver query per probe doesn't
+    scale past a handful of lookups).
+
+    Plan: the query matrix broadcasts; each PARTITION computes cosines
+    for all queries in one numpy pass and keeps only its local top-k per
+    query (the mapInPandas generator accumulates across the partition's
+    Arrow batches and yields once), so at most partitions * Q * k rows
+    ever leave the scan; a tiny global window re-ranks them to the final
+    top-k. Cosines accumulate component-by-component (acc += v_k * q_k),
+    NOT via BLAS matmul: BLAS blocking changes summation order with
+    batch size, which would make results depend on partitioning — the
+    explicit loop is deterministic for any split and is what the fixture
+    oracle replicates. Ties break by id ascending.
+
+    Output: (query_idx int, vec_id, cos_sim double, rank int)."""
+    from pyspark.sql import Window
+
+    q = np.asarray(queries, dtype=np.float64)
+    qnorm = np.sqrt((q * q).sum(axis=1))
+    spark = df.sparkSession
+    b_q = spark.sparkContext.broadcast(q)
+    b_qn = spark.sparkContext.broadcast(qnorm)
+    id_type = dict(df.dtypes)[id_col]
+
+    def _local_topk(batches):
+        qm, qn = b_q.value, b_qn.value
+        nq, dim = qm.shape
+        best_sim = [[] for _ in range(nq)]
+        best_id = [[] for _ in range(nq)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            ids = np.array(list(pdf[id_col]))
+            acc = np.zeros((len(vecs), nq), dtype=np.float64)
+            for c in range(dim):  # deterministic order, see docstring
+                acc += vecs[:, c][:, None] * qm[None, :, c]
+            vn = np.zeros(len(vecs), dtype=np.float64)
+            for c in range(dim):
+                vn += vecs[:, c] * vecs[:, c]
+            cos = acc / (np.sqrt(vn)[:, None] * qn[None, :])
+            for qi in range(nq):
+                best_sim[qi].extend(cos[:, qi].tolist())
+                best_id[qi].extend(ids.tolist())
+                if len(best_sim[qi]) > 4 * k:
+                    order = sorted(
+                        range(len(best_sim[qi])),
+                        key=lambda i: (-best_sim[qi][i], best_id[qi][i]),
+                    )[:k]
+                    best_sim[qi] = [best_sim[qi][i] for i in order]
+                    best_id[qi] = [best_id[qi][i] for i in order]
+        out_q, out_id, out_c = [], [], []
+        for qi in range(nq):
+            order = sorted(
+                range(len(best_sim[qi])),
+                key=lambda i: (-best_sim[qi][i], best_id[qi][i]),
+            )[:k]
+            out_q.extend([qi] * len(order))
+            out_id.extend(best_id[qi][i] for i in order)
+            out_c.extend(best_sim[qi][i] for i in order)
+        yield pd.DataFrame(
+            {"query_idx": out_q, id_col: out_id, "cos_sim": out_c}
+        )
+
+    local = df.select(id_col, vec_col).mapInPandas(
+        _local_topk,
+        schema=f"query_idx int, {id_col} {id_type}, cos_sim double",
+    )
+    w = Window.partitionBy("query_idx").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_idx", id_col, "cos_sim", "rank")
+    )

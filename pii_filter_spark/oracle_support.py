@@ -220,6 +220,39 @@ def ann_ivf_sql(sf_dir: str, k: int = 10, kc: int = 8, iters: int = 8,
     return _values_sql(rows, ["vec_id", "cos_sim"], ["BIGINT", "DOUBLE"])
 
 
+def ann_batch_sql(sf_dir: str, n_queries: int = 5, k: int = 5) -> str:
+    """q_ann_batch expected rows: loop-accumulated cosines (the same
+    component-order arithmetic the partition UDF uses — deliberately not
+    BLAS matmul) for the first n_queries embedding vectors, top-k per
+    query with (-cos, vec_id) ordering."""
+    emb = _read_embeddings(sf_dir)
+    ids = [int(r[0]) for r in emb]
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in emb])
+    order = np.argsort(ids, kind="stable")
+    qm = mat[order[:n_queries]]
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    dim = mat.shape[1]
+    acc = np.zeros((len(ids), n_queries))
+    for c in range(dim):
+        acc += mat[:, c][:, None] * qm[None, :, c]
+    vn = np.zeros(len(ids))
+    for c in range(dim):
+        vn += mat[:, c] * mat[:, c]
+    cos = acc / (np.sqrt(vn)[:, None] * qn[None, :])
+    rows = []
+    for qi in range(n_queries):
+        scored = sorted(
+            ((ids[i], cos[i, qi]) for i in range(len(ids))),
+            key=lambda t: (-t[1], t[0]),
+        )[:k]
+        for rank, (vid, cs) in enumerate(scored, 1):
+            rows.append((qi, vid, _round_like_spark(cs), rank))
+    return _values_sql(
+        rows, ["query_idx", "vec_id", "cos_sim", "rank"],
+        ["INT", "BIGINT", "DOUBLE", "INT"],
+    )
+
+
 def emb_near_pairs_lsh_sql(sf_dir: str, threshold: float = 0.85,
                            planes: int = 64, chunks: int = 8,
                            seed: int = 31) -> str:

@@ -210,3 +210,32 @@ def test_vectorized_cosine_buckets_equal_native(spark):
     key = lambda d: sorted(zip(d.id_a, d.id_b, d.cos_sim))  # exact doubles
     assert key(vec) == key(nat)
     assert len(vec) >= 60 * 59 / 2  # identical-vector family
+
+
+def test_cosine_topk_batch_partition_invariant(spark, emb, emb_np):
+    """Batch ANN must be independent of input partitioning (the local
+    top-k accumulates per partition; component-order arithmetic keeps
+    cosines identical for any split) and must agree with a numpy
+    reference on ids and ranks."""
+    import numpy as np
+    from pii_filter_spark.operators.similarity import cosine_topk_batch
+
+    ids, mat = emb_np
+    queries = mat[:3].astype(np.float64)
+    a = cosine_topk_batch(emb.repartition(7), queries, k=5).toPandas()
+    b = cosine_topk_batch(emb.repartition(2), queries, k=5).toPandas()
+    key = lambda d: sorted(
+        zip(d["query_idx"], d["rank"], d["vec_id"], d["cos_sim"])
+    )  # d.rank would be the DataFrame METHOD, not the column
+    assert key(a) == key(b)
+    # numpy reference (same component-order accumulation)
+    acc = np.zeros((len(ids), 3))
+    for c in range(mat.shape[1]):
+        acc += mat[:, c].astype(np.float64)[:, None] * queries[None, :, c]
+    vn = (mat.astype(np.float64) ** 2).sum(axis=1) ** 0.5
+    qn = (queries ** 2).sum(axis=1) ** 0.5
+    cos = acc / (vn[:, None] * qn[None, :])
+    for qi in range(3):
+        expect = sorted(zip(-cos[:, qi], ids))[:5]
+        got = a[a.query_idx == qi].sort_values("rank")
+        assert list(got.vec_id) == [int(i) for _, i in expect]
