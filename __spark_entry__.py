@@ -3,10 +3,10 @@
 entry(spark)   — flagship: PII/toxicity scrub + quality filter over the
                  sf0.001 documents table with deterministic PII clauses
                  appended (the engine's core semantics end-to-end).
-queries()      — 52 callables covering the operator families of
+queries()      — 53 callables covering the operator families of
                  SURVEY.md §2 plus the north-rule/training-data
                  additions (see COVERAGE.md for the full map).
-oracle_sql()   — a DuckDB oracle for EVERY query: 32 plain SQL
+oracle_sql()   — a DuckDB oracle for EVERY query: 33 plain SQL
                  equivalents, 20 computed-literal fixture oracles for
                  the model-backed ops (langid, perplexity, minhash,
                  simhash, SRP-LSH, IVF, pair queries, image/audio/video
@@ -583,6 +583,18 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_take(kept, "lang", 10)
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (8-gram overlap): the 'benchmark' is a
+    deterministic slice of the corpus itself (every doc_id % 50 == 0
+    contributes its text), so exactly those docs — and any true 8-gram
+    sharers — must flag contaminated."""
+    from pii_filter_spark.operators.textstats import contamination_flags
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 50 == 0).select("text")
+    return contamination_flags(docs, bench)
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per document: sentence metrics as
     in-row HOFs, top-word count RELATIONAL (explode + (doc, word)
@@ -895,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_users": q_kmv_distinct_users,
         "lsh_bucket_stats": q_lsh_bucket_stats,
         "repetition_signals": q_repetition_signals,
+        "contamination": q_contamination,
         "curation_pipeline": q_curation_pipeline,
         "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
@@ -1265,6 +1278,31 @@ def _static_oracles(scrub_case, type_case, scrub_restored_case) -> dict[str, str
                      ) AS sample_rank
               FROM kept
             ) WHERE sample_rank <= 10
+        """,
+        "contamination": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(regexp_replace(lower(trim(text)),
+                                 '\s+', ' ', 'g'), ' '), w -> w <> '') AS t
+              FROM documents
+            ), doc_grams AS (
+              SELECT doc_id, g FROM (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(0, greatest(len(t) - 8, 0) + 1),
+                           i -> array_to_string(list_slice(t, i + 1, i + 8), ' ')
+                       ))) AS g
+                FROM toks WHERE len(t) >= 8
+              )
+            ), bench_grams AS (
+              SELECT DISTINCT g FROM doc_grams WHERE doc_id % 50 = 0
+            ), hits AS (
+              SELECT DISTINCT d.doc_id
+              FROM doc_grams d JOIN bench_grams b USING (g)
+            )
+            SELECT doc_id,
+                   doc_id IN (SELECT doc_id FROM hits) AS contaminated
+            FROM documents
         """,
         "repetition_signals": r"""
             WITH staged AS (

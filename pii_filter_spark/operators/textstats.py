@@ -199,3 +199,53 @@ def repetition_signals(
         "dup_sent_frac",
         top_frac.alias("top_word_frac"),
     )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag documents sharing any word n-gram
+    with a benchmark/eval set (the GPT-3/PaLM data-prep recipe; n=8 is
+    the conventional window). Output: (id, contaminated boolean).
+
+    Plan: both sides normalize identically (lower, whitespace-collapse)
+    and explode to distinct n-gram rows; the benchmark side is tiny by
+    definition (an eval set), so the semi-join broadcasts — each doc
+    n-gram probes a hash map, no shuffle of the corpus side. Docs
+    shorter than n words cannot be contaminated. At production scale
+    the benchmark n-gram set is exactly the bloom-filter build side;
+    the semi-join keeps the declarative form.
+    """
+    def grams(df, tcol, carry):
+        toks = F.filter(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col(tcol))), r"\s+", " "), " "),
+            lambda w: w != "",
+        )
+        staged = df.select(*carry, toks.alias("_t")).where(F.size("_t") >= n)
+        g = F.transform(
+            F.sequence(F.lit(0), F.size("_t") - n),
+            lambda i: F.concat_ws(" ", F.slice("_t", i + 1, n)),
+        )
+        return staged.select(*carry, F.explode(F.array_distinct(g)).alias("_g"))
+
+    bench_grams = grams(benchmark, bench_text_col, []).distinct()
+    doc_grams = grams(docs, text_col, [id_col])
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "_g", "leftsemi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
+    )

@@ -113,3 +113,25 @@ def test_repetition_signals(spark):
     assert out[3].dup_sent_frac == 0.0
     assert out[3].top_word_frac == 0.0        # blank doc: 0 words, not ['']
     assert out[4].dup_sent_frac == 0.0
+
+
+def test_contamination_flags(spark):
+    """Docs sharing an 8-gram with the benchmark flag true; shorter or
+    disjoint docs flag false."""
+    from pii_filter_spark.operators.textstats import contamination_flags
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix words " + bench_text + " suffix tail"),  # contains
+            (2, "completely different content with many distinct words "
+                "spread across this entire sentence here"),
+            (3, "too short to contain any"),                      # < 8 words
+            (4, "The  QUICK   brown fox Jumps over the lazy dog"),  # case/ws
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    out = {r.doc_id: r.contaminated
+           for r in contamination_flags(docs, bench).collect()}
+    assert out == {1: True, 2: False, 3: False, 4: True}
