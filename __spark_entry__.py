@@ -3,10 +3,10 @@
 entry(spark)   — flagship: PII/toxicity scrub + quality filter over the
                  sf0.001 documents table with deterministic PII clauses
                  appended (the engine's core semantics end-to-end).
-queries()      — 53 callables covering the operator families of
+queries()      — 54 callables covering the operator families of
                  SURVEY.md §2 plus the north-rule/training-data
                  additions (see COVERAGE.md for the full map).
-oracle_sql()   — a DuckDB oracle for EVERY query: 33 plain SQL
+oracle_sql()   — a DuckDB oracle for EVERY query: 34 plain SQL
                  equivalents, 20 computed-literal fixture oracles for
                  the model-backed ops (langid, perplexity, minhash,
                  simhash, SRP-LSH, IVF, pair queries, image/audio/video
@@ -583,6 +583,14 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_take(kept, "lang", 10)
 
 
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 word bigrams (two-phase global top-k — no full-
+    vocabulary sort; operators/textstats.top_ngrams)."""
+    from pii_filter_spark.operators.textstats import top_ngrams
+
+    return top_ngrams(_docs(spark, sf_dir), n=2, k=20)
+
+
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (8-gram overlap): the 'benchmark' is a
     deterministic slice of the corpus itself (every doc_id % 50 == 0
@@ -908,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_stats": q_lsh_bucket_stats,
         "repetition_signals": q_repetition_signals,
         "contamination": q_contamination,
+        "top_bigrams": q_top_bigrams,
         "curation_pipeline": q_curation_pipeline,
         "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
@@ -1278,6 +1287,25 @@ def _static_oracles(scrub_case, type_case, scrub_restored_case) -> dict[str, str
                      ) AS sample_rank
               FROM kept
             ) WHERE sample_rank <= 10
+        """,
+        "top_bigrams": r"""
+            WITH toks AS (
+              SELECT list_filter(string_split(regexp_replace(lower(trim(text)),
+                         '\s+', ' ', 'g'), ' '), w -> w <> '') AS t
+              FROM documents
+            ), grams AS (
+              SELECT unnest(list_transform(
+                       range(0, greatest(len(t) - 2, 0) + 1),
+                       i -> array_to_string(list_slice(t, i + 1, i + 2), ' ')
+                     )) AS ngram
+              FROM toks WHERE len(t) >= 2
+            )
+            SELECT ngram, cnt, rank FROM (
+              SELECT ngram, COUNT(*) AS cnt,
+                     row_number() OVER (ORDER BY COUNT(*) DESC, ngram ASC)
+                       AS rank
+              FROM grams GROUP BY ngram
+            ) WHERE rank <= 20
         """,
         "contamination": r"""
             WITH toks AS (

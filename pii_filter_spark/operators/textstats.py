@@ -249,3 +249,48 @@ def contamination_flags(
             F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
         )
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level vocabulary stats: the k most frequent word n-grams
+    with counts — the standard corpus-inspection step before choosing
+    boilerplate/stop filters. Output: (ngram, cnt, rank), rank 1-based
+    with (count desc, ngram asc) ties.
+
+    Plan: explode n-grams (NOT distinct per doc — corpus frequency
+    counts every occurrence), groupBy with map-side partial aggregation,
+    then a two-phase top-k: local top-k per hash-salt of the ngram, then
+    one tiny global sort of <= salt_buckets*k survivors — no global sort
+    of the full vocabulary ever happens."""
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "),
+        lambda w: w != "",
+    )
+    staged = df.select(toks.alias("_t")).where(F.size("_t") >= n)
+    grams = staged.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("_t") - n),
+                lambda i: F.concat_ws(" ", F.slice("_t", i + 1, n)),
+            )
+        ).alias("ngram")
+    )
+    counts = grams.groupBy("ngram").agg(F.count(F.lit(1)).alias("cnt"))
+    salt = F.pmod(F.xxhash64("ngram"), F.lit(32))
+    w1 = Window.partitionBy(salt).orderBy(F.desc("cnt"), F.asc("ngram"))
+    local = counts.withColumn("_r", F.row_number().over(w1)).where(
+        F.col("_r") <= k
+    )
+    w2 = Window.partitionBy().orderBy(F.desc("cnt"), F.asc("ngram"))
+    return (
+        local.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("ngram", "cnt", "rank")
+    )
