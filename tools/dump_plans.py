@@ -72,6 +72,13 @@ CASES = [
         "skew-safe shape when composed.",
     ),
     (
+        "contamination",
+        "Benchmark decontamination: the eval-set n-gram side feeds a "
+        "BroadcastHashJoin LeftSemi — the corpus side never shuffles; "
+        "the final left join back to doc ids broadcasts the (tiny) hit "
+        "set as well.",
+    ),
+    (
         "embedding_near_pairs",
         "Exact cosine pairs: MapInPandas over the scan — broadcast "
         "matmul, zero shuffles, no crossJoin node anywhere.",
