@@ -659,6 +659,38 @@ def q_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_sentences(_captions(spark, sf_dir), text_col="caption")
 
 
+# Four sentences so >= 3 identical trailing sentences survive even when
+# the first merges with an unpunctuated document tail under the shared
+# sentence regex — guaranteeing a duplicated 3-span across the cohort.
+_SPAN_BOILERPLATE = (
+    " Aviso legal padrao. Conteudo gerado automaticamente."
+    " Verifique sempre a fonte original. Direitos reservados ao autor."
+)
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global 3-sentence-span dedup (Raffel et al. 2020 §2.2):
+    every doc_id % 7 == 0 doc gets the same boilerplate tail, so the
+    corpus provably contains cross-document duplicate spans; the first
+    (doc_id, start_idx) occurrence survives, the rest are removed.
+    Oracle is the identical window/removal algebra in plain DuckDB —
+    text_dedup is compared byte-for-byte."""
+    from pii_filter_spark.operators.span_dedup import span_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(_SPAN_BOILERPLATE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return span_dedup(docs).select(
+        "doc_id", "n_sentences", "n_removed", "text_dedup"
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard verifier on deterministic candidate
     pairs (each doc_id % 10 == 0 vs a tail-extended copy of itself) —
@@ -910,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": q_simhash_near_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "sentence_split": q_sentence_split,
+        "span_dedup": q_span_dedup,
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
         "kmv_distinct_users": q_kmv_distinct_users,
@@ -1192,6 +1225,57 @@ def _static_oracles(scrub_case, type_case, scrub_restored_case) -> dict[str, str
                    trim(sents[u.i + 1]) AS sentence
             FROM s, LATERAL unnest(range(0, len(sents))) AS u(i)
             WHERE trim(sents[u.i + 1]) <> ''
+        """,
+        "span_dedup": f"""
+            WITH docs AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 7 = 0
+                                  THEN '{_SPAN_BOILERPLATE}'
+                                  ELSE '' END AS text
+              FROM documents
+            ), s0 AS (
+              SELECT doc_id,
+                     list_filter(list_transform(
+                         regexp_extract_all(text, '[^.!?]+[.!?]*'),
+                         x -> trim(x)), x -> x <> '') AS ss
+              FROM docs
+            ), sents AS (
+              SELECT doc_id, CAST(u.i AS INT) AS sent_idx,
+                     ss[u.i + 1] AS sentence
+              FROM s0, LATERAL unnest(range(0, len(ss))) AS u(i)
+            ), spans AS (
+              SELECT doc_id, sent_idx AS start_idx,
+                     lead(sent_idx, 1) OVER w AS i1,
+                     lead(sent_idx, 2) OVER w AS i2,
+                     md5(sentence || ' ' || lead(sentence, 1) OVER w
+                         || ' ' || lead(sentence, 2) OVER w) AS span_hash
+              FROM sents
+              WINDOW w AS (PARTITION BY doc_id ORDER BY sent_idx)
+            ), dup_spans AS (
+              SELECT doc_id, start_idx, i1, i2 FROM (
+                SELECT doc_id, start_idx, i1, i2,
+                       row_number() OVER (PARTITION BY span_hash
+                                          ORDER BY doc_id, start_idx) AS rn
+                FROM spans WHERE i2 IS NOT NULL
+              ) WHERE rn > 1
+            ), removals AS (
+              SELECT DISTINCT doc_id, CAST(u.x AS INT) AS sent_idx
+              FROM dup_spans, LATERAL unnest([start_idx, i1, i2]) AS u(x)
+            ), agg AS (
+              SELECT s.doc_id,
+                     COUNT(*) AS n_sentences,
+                     COUNT(r.sent_idx) AS n_removed,
+                     coalesce(string_agg(
+                         CASE WHEN r.sent_idx IS NULL THEN s.sentence END,
+                         ' ' ORDER BY s.sent_idx), '') AS text_dedup
+              FROM sents s LEFT JOIN removals r USING (doc_id, sent_idx)
+              GROUP BY s.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_sentences, 0) AS n_sentences,
+                   coalesce(a.n_removed, 0) AS n_removed,
+                   coalesce(a.text_dedup, '') AS text_dedup
+            FROM docs d LEFT JOIN agg a USING (doc_id)
         """,
         "kmv_distinct_users": """
             WITH hashed AS (

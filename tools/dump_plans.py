@@ -101,6 +101,17 @@ CASES = [
         "keeps ONE ArrowEvalPython — plain explode would push a size()>0 "
         "filter below the Generate and re-run the UDF per row.",
     ),
+    (
+        "span_dedup",
+        "C4 global sentence-span dedup: zero Python nodes — sentence "
+        "explode (Generate), one doc-partitioned window for the span "
+        "lead, one shuffle on span_hash for the global first-occurrence "
+        "row_number (streamed, never materialized as an array, so a "
+        "boilerplate span repeated 10^9 times is a streaming window "
+        "partition, not a collect_list blow-up), one groupBy back on "
+        "doc_id. The removal join's build side is duplicate spans only "
+        "(≪ corpus).",
+    ),
 ]
 
 
