@@ -691,6 +691,25 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality scorer (fastText-style hashed-ngram logistic
+    classifier, distilled from the heuristic stage) + GPT-3 Pareto keep
+    (Brown et al. 2020 App. A). Training is driver-side on the first
+    512 docs in id order (bounded, cluster-invariant — the IVF recipe);
+    scoring is one Arrow pass over the table. The fixture oracle
+    retrains and rescores through the same pure functions, so q_prob is
+    compared as exact doubles."""
+    from pii_filter_spark.operators.quality_classifier import (
+        quality_classifier_stage,
+        train_quality_classifier,
+        training_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    w, b = train_quality_classifier(training_sample(docs, sample=512))
+    return quality_classifier_stage(docs, w, b)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard verifier on deterministic candidate
     pairs (each doc_id % 10 == 0 vs a tail-extended copy of itself) —
@@ -943,6 +962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "sentence_split": q_sentence_split,
         "span_dedup": q_span_dedup,
+        "quality_classifier": q_quality_classifier,
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
         "kmv_distinct_users": q_kmv_distinct_users,
@@ -1493,6 +1513,7 @@ def _fixture_oracles() -> dict[str, str]:
         ("audio_features", lambda sf: osup.audio_features_sql()),
         ("phash_dedup", lambda sf: osup.phash_dedup_sql()),
         ("phash_near_pairs", lambda sf: osup.phash_near_pairs_sql()),
+        ("quality_classifier", osup.quality_classifier_sql),
         ("langid_documents", osup.langid_sql),
         ("perplexity_scores", osup.perplexity_sql),
         ("minhash_signatures", osup.minhash_sql),

@@ -633,3 +633,30 @@ def phash_dedup_sql(n: int = 400, seed: int = 42) -> str:
             winners[r["phash"]] = r["image_id"]
     rows = sorted((img, ph) for ph, img in winners.items())
     return _values_sql(rows, ["image_id", "phash"], ["VARCHAR", "BIGINT"])
+
+
+def quality_classifier_sql(sf_dir: str, sample: int = 512) -> str:
+    """Retrains + rescores through the operator's own pure functions —
+    an executor-free re-derivation of the learned stage (training is
+    deterministic: zeros init, fixed epochs, id-ordered accumulation),
+    so every q_prob double must match Spark bit-for-bit."""
+    from .operators.quality_classifier import (
+        distill_label,
+        pareto_keep,
+        score_text,
+        train_quality_classifier,
+    )
+
+    docs = _read_docs(sf_dir)  # already ascending doc_id
+    w, b = train_quality_classifier(
+        [(t, distill_label(t)) for _, t in docs[:sample]]
+    )
+    rows = []
+    for d, t in docs:
+        p = score_text(t, w, b)
+        rows.append((d, p, p >= 0.5, pareto_keep(p, d)))
+    return _values_sql(
+        rows,
+        ["doc_id", "q_prob", "keep_clf", "keep_pareto"],
+        ["BIGINT", "DOUBLE", "BOOLEAN", "BOOLEAN"],
+    )
