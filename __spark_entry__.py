@@ -710,6 +710,19 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier_stage(docs, w, b)
 
 
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixing (XLM-R/mT5 recipe, T=2,
+    target 200 rows): per-source keep rates from exact counts, per-row
+    keep by an INTEGER comparison in the shared 60-bit md5 hash space —
+    the oracle recomputes the thresholds from DuckDB counts through the
+    same pure function and applies them in plain SQL."""
+    from pii_filter_spark.operators.mixing import temperature_sample
+
+    return temperature_sample(
+        _docs(spark, sf_dir), temperature=2.0, target_rows=200
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard verifier on deterministic candidate
     pairs (each doc_id % 10 == 0 vs a tail-extended copy of itself) —
@@ -963,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_split": q_sentence_split,
         "span_dedup": q_span_dedup,
         "quality_classifier": q_quality_classifier,
+        "source_mixture": q_source_mixture,
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
         "kmv_distinct_users": q_kmv_distinct_users,
@@ -1514,6 +1528,7 @@ def _fixture_oracles() -> dict[str, str]:
         ("phash_dedup", lambda sf: osup.phash_dedup_sql()),
         ("phash_near_pairs", lambda sf: osup.phash_near_pairs_sql()),
         ("quality_classifier", osup.quality_classifier_sql),
+        ("source_mixture", osup.source_mixture_sql),
         ("langid_documents", osup.langid_sql),
         ("perplexity_scores", osup.perplexity_sql),
         ("minhash_signatures", osup.minhash_sql),

@@ -660,3 +660,37 @@ def quality_classifier_sql(sf_dir: str, sample: int = 512) -> str:
         ["doc_id", "q_prob", "keep_clf", "keep_pareto"],
         ["BIGINT", "DOUBLE", "BOOLEAN", "BOOLEAN"],
     )
+
+
+def source_mixture_sql(
+    sf_dir: str, temperature: float = 2.0, target_rows: int = 200
+) -> str:
+    """Per-source thresholds recomputed from exact DuckDB counts through
+    the operator's own pure function (sorted-source float sums), then
+    the per-row keep is PLAIN SQL on the shared 60-bit md5-prefix
+    integer — no float crosses the engine boundary."""
+    from .operators.mixing import mixture_rates
+
+    con = duckdb.connect()
+    counts = dict(
+        con.execute(
+            f"SELECT source, COUNT(*) FROM"
+            f" read_parquet('{sf_dir}/documents.parquet')"
+            " WHERE source IS NOT NULL GROUP BY source"
+        ).fetchall()
+    )
+    con.close()
+    rates = mixture_rates(counts, temperature, target_rows)
+    vals = ",\n".join(
+        f"('{s.replace(chr(39), chr(39) * 2)}', {t}::UBIGINT, {rate!r})"
+        for s, (rate, t) in sorted(rates.items())
+    )
+    return f"""
+        WITH th(source, th, keep_rate) AS (VALUES
+        {vals}
+        )
+        SELECT d.doc_id, d.source, CAST(t.keep_rate AS DOUBLE) AS keep_rate
+        FROM documents d JOIN th t ON d.source = t.source
+        WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+                   AS UBIGINT) < t.th
+    """
