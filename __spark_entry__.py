@@ -760,6 +760,21 @@ def _emb_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.unionByName(copies)
 
 
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means clusters as candidate
+    buckets, within-cluster exact-cosine pairs >= 0.85, smallest id per
+    duplicate component survives. Runs on the planted-near-dup set so
+    the keep/drop decisions are non-trivial; the fixture oracle
+    re-derives centroids, assignments, fold-order cosines, and
+    union-find components in pure numpy/Python."""
+    from pii_filter_spark.operators.semdedup import semdedup
+    from pii_filter_spark.operators.similarity import train_ivf_centroids
+
+    emb = _emb_with_neardups(spark, sf_dir)
+    cents = train_ivf_centroids(emb, k=8, iters=8)
+    return semdedup(emb, cents, threshold=0.85)
+
+
 def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact embedding-cosine near-dup pairs (broadcast matmul, no join)."""
     from pii_filter_spark.operators.similarity import cosine_near_pairs_exact
@@ -977,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "quality_classifier": q_quality_classifier,
         "source_mixture": q_source_mixture,
+        "semdedup": q_semdedup,
         "dedup_clusters": q_dedup_clusters,
         "stratified_sample": q_stratified_sample,
         "kmv_distinct_users": q_kmv_distinct_users,
@@ -1529,6 +1545,7 @@ def _fixture_oracles() -> dict[str, str]:
         ("phash_near_pairs", lambda sf: osup.phash_near_pairs_sql()),
         ("quality_classifier", osup.quality_classifier_sql),
         ("source_mixture", osup.source_mixture_sql),
+        ("semdedup", osup.semdedup_sql),
         ("langid_documents", osup.langid_sql),
         ("perplexity_scores", osup.perplexity_sql),
         ("minhash_signatures", osup.minhash_sql),

@@ -251,6 +251,26 @@ def cosine_near_pairs_lsh(
         .agg(F.collect_list("m").alias("ms"))
         .where(F.size("ms") > 1)
     )
+    id_type = dict(df.dtypes)[id_col]
+    return cosine_pairs_from_buckets(members, threshold, max_bucket_size, id_type)
+
+
+def cosine_pairs_from_buckets(
+    members: DataFrame,
+    threshold: float,
+    max_bucket_size: int,
+    id_type: str,
+) -> DataFrame:
+    """Verified cosine pairs from pre-bucketed candidates: `members` has
+    an `ms` column of array<struct<id, v:array<double>, nrm:double>>
+    (any bucketing — SRP chunks, IVF clusters). Shared by
+    cosine_near_pairs_lsh and semdedup so the hybrid native/vectorized
+    expansion (and its bit-parity contract) lives in one place."""
+    from .dedup import (
+        _VECTORIZE_FROM,
+        _bucket_pair_expansion,
+        _ordered_id_pairs,
+    )
 
     def _cos(x, y):
         return F.aggregate(
@@ -312,7 +332,6 @@ def cosine_near_pairs_lsh(
                 {"id_a": out_a, "id_b": out_b, "cos_sim": out_c}
             )
 
-    id_type = dict(df.dtypes)[id_col]
     vectorized = big.mapInPandas(
         _vec_fn, schema=f"id_a {id_type}, id_b {id_type}, cos_sim double"
     )

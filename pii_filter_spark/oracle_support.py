@@ -694,3 +694,77 @@ def source_mixture_sql(
         WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
                    AS UBIGINT) < t.th
     """
+
+
+def semdedup_sql(sf_dir: str, kc: int = 8, iters: int = 8,
+                 threshold: float = 0.85) -> str:
+    """q_semdedup expected rows: re-derives the whole SemDeDup pipeline
+    executor-free — centroid training on the vec_id-ordered sample
+    (train_ivf_centroids' exact numpy math), nearest-centroid
+    assignment, within-cluster fold-order cosines (the HOF/vectorized
+    bit-parity contract), union-find components, min-id survivor."""
+    emb = _read_embeddings(sf_dir)
+    ids = [int(r[0]) for r in emb]
+    vecs = [np.asarray(r[1], dtype=np.float64) for r in emb]
+    # planted near-dups, same construction as _emb_with_neardups
+    all_ids, all_vecs = list(ids), list(vecs)
+    for i, vid in enumerate(ids):
+        if vid % 10 == 0:
+            v = vecs[i].copy()
+            v[0] += 0.5
+            all_ids.append(vid + 1_000_000)
+            all_vecs.append(v)
+    order = np.argsort(np.array(all_ids), kind="stable")
+    x = np.stack(all_vecs)[order][:2048]
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.default_rng(17)
+    cent = x[rng.choice(len(x), size=min(kc, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / (np.linalg.norm(m) or 1.0)
+    mat = np.stack(all_vecs)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    assign_all = np.argmax(unit @ cent.T, axis=1)
+    norms = [_fold_norm(v) for v in all_vecs]
+    clusters: dict = {}
+    for i in range(len(all_ids)):
+        if norms[i] <= 0:
+            continue
+        clusters.setdefault(int(assign_all[i]), []).append(i)
+    parent = {}
+
+    def find(a):
+        while parent.get(a, a) != a:
+            parent[a] = parent.get(parent[a], parent[a])
+            a = parent[a]
+        return a
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    for members in clusters.values():
+        assert len(members) <= 2048, "fixture cluster exceeds bucket cap"
+        for ai in range(len(members)):
+            for bi in range(ai + 1, len(members)):
+                xi, yi = members[ai], members[bi]
+                cos = _fold_dot(all_vecs[xi], all_vecs[yi]) / (
+                    norms[xi] * norms[yi]
+                )
+                if cos >= threshold:
+                    union(all_ids[xi], all_ids[yi])
+    rows = []
+    for i in range(len(all_ids)):
+        vid = all_ids[i]
+        keep = find(vid) == vid  # untouched ids are their own root
+        rows.append((vid, int(assign_all[i]), keep))
+    return _values_sql(
+        rows, ["vec_id", "ivf_cluster", "keep"],
+        ["BIGINT", "BIGINT", "BOOLEAN"],
+    )
