@@ -723,6 +723,21 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style contiguous sequence packing (seq_len=2048): global
+    exclusive token offset per doc in id order via the two-phase prefix
+    sum (per-group window + driver-side group bases), then bin_id /
+    bin_offset arithmetically. Integer sums are associative, so the
+    oracle is the plain single-window DuckDB SQL."""
+    from pii_filter_spark.operators.packing import pack_sequences
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(toks, seq_len=2048)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard verifier on deterministic candidate
     pairs (each doc_id % 10 == 0 vs a tail-extended copy of itself) —
@@ -990,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "sentence_split": q_sentence_split,
         "span_dedup": q_span_dedup,
+        "pack_sequences": q_pack_sequences,
         "quality_classifier": q_quality_classifier,
         "source_mixture": q_source_mixture,
         "semdedup": q_semdedup,
@@ -1275,6 +1291,25 @@ def _static_oracles(scrub_case, type_case, scrub_restored_case) -> dict[str, str
                    trim(sents[u.i + 1]) AS sentence
             FROM s, LATERAL unnest(range(0, len(sents))) AS u(i)
             WHERE trim(sents[u.i + 1]) <> ''
+        """,
+        "pack_sequences": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                          AS BIGINT) AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                         ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS tok_start
+              FROM t
+            )
+            SELECT doc_id, n_tokens, tok_start,
+                   CAST(tok_start // 2048 AS BIGINT) AS bin_id,
+                   tok_start % 2048 AS bin_offset
+            FROM c
         """,
         "span_dedup": f"""
             WITH docs AS (
