@@ -482,6 +482,35 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_metadata_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub of PNG metadata chunks (tEXt/zTXt/iTXt/eXIf/tIME):
+    extract text fields, run the full caption detection stack over them,
+    strip to pixel-bearing chunks. Deterministic fixture injection per
+    image index; fixture oracle re-derives every value through the same
+    pure functions (operators/image_metadata.scrub_row)."""
+    from pii_filter_spark.operators.image_metadata import (
+        inject_fixture_metadata,
+        scrub_image_metadata,
+    )
+    from pii_filter_spark.sources.synth import build_input_table
+
+    imgs = build_input_table(spark, 300, seed=42, num_partitions=8)
+
+    def _inject(batches):
+        for pdf in batches:
+            pdf = pdf[["image_id", "bytes"]].copy()
+            pdf["bytes"] = [
+                inject_fixture_metadata(bytes(b), int(i[4:]))
+                for i, b in zip(pdf["image_id"], pdf["bytes"])
+            ]
+            yield pdf
+
+    injected = imgs.select("image_id", "bytes").mapInPandas(
+        _inject, schema="image_id string, bytes binary"
+    )
+    return scrub_image_metadata(injected)
+
+
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fan-out frame sampling (decode = deterministic sandbox stub)."""
     from pii_filter_spark.operators.image_stage import sample_video_frames
@@ -996,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_counts": q_skew_salted_counts,
         "image_verify": q_image_verify,
         "image_features": q_image_features,
+        "image_metadata_scrub": q_image_metadata_scrub,
         "phash_dedup": q_phash_dedup,
         "phash_near_pairs": q_phash_near_pairs,
         "video_frame_sample": q_video_frame_sample,
@@ -1574,6 +1604,7 @@ def _fixture_oracles() -> dict[str, str]:
         ("simhash_near_pairs", osup.simhash_near_pairs_sql),
         ("image_verify", lambda sf: osup.image_verify_sql()),
         ("image_features", lambda sf: osup.image_features_sql()),
+        ("image_metadata_scrub", lambda sf: osup.image_metadata_sql()),
         ("video_frame_sample", lambda sf: osup.video_frame_sample_sql()),
         ("audio_features", lambda sf: osup.audio_features_sql()),
         ("phash_dedup", lambda sf: osup.phash_dedup_sql()),

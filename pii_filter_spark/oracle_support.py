@@ -550,6 +550,26 @@ def image_features_sql(n: int = 200, seed: int = 42) -> str:
     )
 
 
+def image_metadata_sql(n: int = 300, seed: int = 42) -> str:
+    """Re-derive the image_metadata_scrub query end-to-end: same synth
+    rows, same deterministic injection, same scrub_row pure function —
+    so the value hash checks chunk walking, text extraction, the PII
+    stack on metadata text, and the md5 of the stripped file."""
+    from .operators.image_metadata import inject_fixture_metadata, scrub_row
+
+    rows = []
+    for i, r in enumerate(_synth_rows(n, seed)):
+        data = inject_fixture_metadata(bytes(r["bytes"]), i)
+        rows.append((r["image_id"], *scrub_row(data)))
+    return _values_sql(
+        rows,
+        ["image_id", "is_png", "meta_chunks", "meta_fields", "meta_pii",
+         "meta_toxic", "bytes_removed", "clean_md5"],
+        ["VARCHAR", "BOOLEAN", "INTEGER", "INTEGER", "INTEGER", "INTEGER",
+         "BIGINT", "VARCHAR"],
+    )
+
+
 def video_frame_sample_sql(n: int = 100, seed: int = 42,
                            every_n: int = 2) -> str:
     from .operators.image_stage import _fake_video_decoder
