@@ -482,6 +482,17 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style image-side quality rules (size / aspect / compression
+    density / container whitelist) — pure Catalyst arithmetic on typed
+    metadata + length(bytes); pixels never decoded, no UDF, no shuffle."""
+    from pii_filter_spark.operators.image_quality import image_quality_filter
+    from pii_filter_spark.sources.synth import build_input_table
+
+    imgs = build_input_table(spark, 400, seed=42, num_partitions=8)
+    return image_quality_filter(imgs)
+
+
 def q_image_metadata_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub of PNG metadata chunks (tEXt/zTXt/iTXt/eXIf/tIME):
     extract text fields, run the full caption detection stack over them,
@@ -1026,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_verify": q_image_verify,
         "image_features": q_image_features,
         "image_metadata_scrub": q_image_metadata_scrub,
+        "image_quality_filter": q_image_quality_filter,
         "phash_dedup": q_phash_dedup,
         "phash_near_pairs": q_phash_near_pairs,
         "video_frame_sample": q_video_frame_sample,
@@ -1605,6 +1617,7 @@ def _fixture_oracles() -> dict[str, str]:
         ("image_verify", lambda sf: osup.image_verify_sql()),
         ("image_features", lambda sf: osup.image_features_sql()),
         ("image_metadata_scrub", lambda sf: osup.image_metadata_sql()),
+        ("image_quality_filter", lambda sf: osup.image_quality_sql()),
         ("video_frame_sample", lambda sf: osup.video_frame_sample_sql()),
         ("audio_features", lambda sf: osup.audio_features_sql()),
         ("phash_dedup", lambda sf: osup.phash_dedup_sql()),

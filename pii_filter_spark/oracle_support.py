@@ -570,6 +570,24 @@ def image_metadata_sql(n: int = 300, seed: int = 42) -> str:
     )
 
 
+def image_quality_sql(n: int = 400, seed: int = 42) -> str:
+    from .operators.image_quality import image_quality_row
+
+    rows = [
+        image_quality_row(
+            r["image_id"], r["w"], r["h"], r["fmt"], len(r["bytes"])
+        )
+        for r in _synth_rows(n, seed)
+    ]
+    return _values_sql(
+        rows,
+        ["image_id", "w", "h", "fmt", "aspect", "bytes_per_px",
+         "size_ok", "aspect_ok", "density_ok", "fmt_ok", "keep"],
+        ["VARCHAR", "INTEGER", "INTEGER", "VARCHAR", "DOUBLE", "DOUBLE",
+         "BOOLEAN", "BOOLEAN", "BOOLEAN", "BOOLEAN", "BOOLEAN"],
+    )
+
+
 def video_frame_sample_sql(n: int = 100, seed: int = 42,
                            every_n: int = 2) -> str:
     from .operators.image_stage import _fake_video_decoder
