@@ -112,6 +112,28 @@ CASES = [
         "doc_id. The removal join's build side is duplicate spans only "
         "(≪ corpus).",
     ),
+    (
+        "image_quality_filter",
+        "LAION-style image-side rules: a single WholeStageCodegen "
+        "projection+filter over typed metadata and length(bytes) — zero "
+        "Python nodes, zero shuffles; the pixel payload is never decoded, "
+        "so at 10^12 rows this is a scan-speed stage.",
+    ),
+    (
+        "image_metadata_scrub",
+        "PNG metadata PII scrub: the fixture injection plus the scrub are "
+        "the plan's only Python nodes; the scrub output projects small "
+        "scalars, so MB-scale bytes flow source→Arrow batch→dropped and "
+        "never enter a shuffle.",
+    ),
+    (
+        "pack_sequences",
+        "Sequence packing: the global exclusive prefix sum appears as a "
+        "per-group bounded window (partitionBy grp) — NOT a single "
+        "unpartitioned global window, which would serialize 100 TB "
+        "through one task; group bases are folded in as literals, no "
+        "join.",
+    ),
 ]
 
 
