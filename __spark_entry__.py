@@ -643,6 +643,18 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(docs, bench)
 
 
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): hashed-unigram
+    log-likelihood-ratio weights against the 'src0' target slice, top-100
+    raw docs.  Per-bucket log-ratios are quantized to integer micro-nats
+    BEFORE the per-doc sum, so the score is an exact integer — the DuckDB
+    oracle matches bit-for-bit regardless of float summation order."""
+    from pii_filter_spark.operators.dsir import dsir_select
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    return dsir_select(docs, F.col("source") == "src0", k=100)
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per document: sentence metrics as
     in-row HOFs, top-word count RELATIONAL (explode + (doc, word)
@@ -1057,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_bucket_stats": q_lsh_bucket_stats,
         "repetition_signals": q_repetition_signals,
         "contamination": q_contamination,
+        "dsir_selection": q_dsir_selection,
         "top_bigrams": q_top_bigrams,
         "curation_pipeline": q_curation_pipeline,
         "embedding_near_pairs": q_embedding_near_pairs,
@@ -1517,6 +1530,39 @@ def _static_oracles(scrub_case, type_case, scrub_restored_case) -> dict[str, str
                        AS rank
               FROM grams GROUP BY ngram
             ) WHERE rank <= 20
+        """,
+        "dsir_selection": r"""
+            WITH tok AS (
+              SELECT doc_id, source = 'src0' AS tgt,
+                     unnest(list_filter(string_split(regexp_replace(
+                         lower(trim(text)), '\s+', ' ', 'g'), ' '),
+                         w -> w <> '')) AS w
+              FROM documents
+            ), b AS (
+              SELECT doc_id, tgt,
+                     CAST(concat('0x', substr(md5(w), 1, 7)) AS BIGINT)
+                         % 1024 AS bkt
+              FROM tok
+            ), counts AS (
+              SELECT bkt,
+                     SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+                     SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS cr
+              FROM b GROUP BY bkt
+            ), totals AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM counts),
+            ratio AS (
+              SELECT bkt,
+                     CAST(round(1000000.0 * (
+                         ln((ct + 0.5) / (tt + 0.5 * 1024))
+                       - ln((cr + 0.5) / (tr + 0.5 * 1024)))) AS BIGINT)
+                         AS lr
+              FROM counts, totals
+            )
+            SELECT b.doc_id, SUM(r.lr) AS dsir_weight_unats
+            FROM b JOIN ratio r USING (bkt)
+            WHERE NOT b.tgt
+            GROUP BY b.doc_id
+            ORDER BY dsir_weight_unats DESC, b.doc_id ASC
+            LIMIT 100
         """,
         "contamination": r"""
             WITH toks AS (

@@ -1,0 +1,120 @@
+"""DSIR-style importance resampling for target-domain data selection.
+
+Implements the hashed-n-gram importance-weight recipe of Xie et al. 2023
+("Data Selection for Language Models via Importance Resampling",
+NeurIPS 2023): estimate token-bucket distributions for a TARGET slice
+and for the RAW pool, score every raw document by the sum of per-token
+log-likelihood ratios log(p_target(b)/p_raw(b)), and keep the top-k
+scored documents as the domain-matched training subset.  This is the
+standard "make 100 TB of crawl look like my curated target" selection
+step that sits in front of the quality/PII stages in this engine
+(reference scope: the curation layer around
+/root/reference/src/core/text_processor.py — the reference filters;
+DSIR chooses WHAT to filter at corpus scale).
+
+Engine-portability is engineered in two places so an independent DuckDB
+oracle reproduces the result bit-for-bit:
+
+* bucket assignment is a portable md5-prefix hash (same recipe as the
+  KMV sketch in operators/sketch.py) — no engine-private hash;
+* the per-bucket log-ratio is FIXED to integer micro-nats (round to
+  1e-6 nat, cast to long) before the per-document sum, so the document
+  score is an exact integer SUM — independent of float summation order
+  across engines, partitionings, and AQE decisions.
+
+Scale shape (10^12 docs): explode tokens -> groupBy(bucket) with
+map-side partial aggregation into a <= num_buckets-row ratio table ->
+broadcast it back onto the raw token stream -> groupBy(doc_id) integer
+sum -> TakeOrderedAndProject for the global top-k.  No global sort of
+the corpus, no skew risk (md5 buckets are uniform by construction), and
+the only small-side state is the ratio table, capped at num_buckets
+rows.  The token stream is recomputed for the two consumers rather than
+cached — at 100 TB a second columnar scan is cheaper than materializing
+an exploded token table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _token_array(text_col: str) -> Column:
+    """Whitespace tokens of lowercased text — the SAME tokenization as
+    textstats.top_ngrams / contamination_flags so one DuckDB recipe
+    (regexp_replace + string_split + list_filter) oracles all of them."""
+    return F.filter(
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+        ),
+        lambda w: w != "",
+    )
+
+
+def hashed_bucket(col: Column, num_buckets: int) -> Column:
+    """Portable token -> bucket hash: first 28 bits of md5, mod buckets.
+    DuckDB equivalent:
+    CAST(concat('0x', substr(md5(w), 1, 7)) AS BIGINT) % num_buckets."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col.cast("binary")), 1, 7), 16, 10).cast("long"),
+        F.lit(num_buckets),
+    )
+
+
+def dsir_bucket_log_ratios(
+    tokens: DataFrame,
+    *,
+    num_buckets: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """(bucket, lr_unats): smoothed log(p_target/p_raw) per hash bucket,
+    quantized to integer micro-nats.  `tokens` must have columns
+    (_b: long bucket, _tgt: boolean).  Output is <= num_buckets rows —
+    broadcastable by construction."""
+    counts = tokens.groupBy("_b").agg(
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(~F.col("_tgt"), 1).otherwise(0)).alias("cr"),
+    )
+    # totals over the tiny counts frame: a single-partition window over
+    # <= num_buckets rows, NOT over the corpus
+    w = Window.partitionBy()
+    denom_t = F.sum("ct").over(w) + F.lit(alpha * num_buckets)
+    denom_r = F.sum("cr").over(w) + F.lit(alpha * num_buckets)
+    lr = F.log((F.col("ct") + alpha) / denom_t) - F.log(
+        (F.col("cr") + alpha) / denom_r
+    )
+    return counts.select(
+        "_b", F.round(lr * 1e6).cast("long").alias("lr_unats")
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    is_target: Column,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 1024,
+    alpha: float = 0.5,
+    k: int = 100,
+) -> DataFrame:
+    """Top-k raw documents by DSIR importance weight against the target
+    slice selected by `is_target`.  Returns (id_col, dsir_weight_unats),
+    deterministic under the total order (weight desc, id asc)."""
+    tok = df.select(
+        F.col(id_col),
+        is_target.alias("_tgt"),
+        F.explode(_token_array(text_col)).alias("_w"),
+    ).select(
+        id_col, "_tgt", hashed_bucket(F.col("_w"), num_buckets).alias("_b")
+    )
+    ratio = dsir_bucket_log_ratios(tok, num_buckets=num_buckets, alpha=alpha)
+    scored = (
+        tok.where(~F.col("_tgt"))
+        .join(F.broadcast(ratio), "_b")
+        .groupBy(id_col)
+        .agg(F.sum("lr_unats").alias("dsir_weight_unats"))
+    )
+    return scored.orderBy(
+        F.desc("dsir_weight_unats"), F.asc(id_col)
+    ).limit(k)

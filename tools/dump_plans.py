@@ -79,6 +79,16 @@ CASES = [
         "set as well.",
     ),
     (
+        "dsir_selection",
+        "DSIR importance resampling: the <=1024-row bucket log-ratio "
+        "table is a BroadcastHashJoin onto the raw token stream (the "
+        "corpus-side tokens never shuffle for the join); both groupBys "
+        "show partial_sum HashAggregate before their exchange "
+        "(map-side combine over md5-uniform bucket / doc_id keys), and "
+        "the top-k is TakeOrderedAndProject — no global sort of the "
+        "scored corpus.",
+    ),
+    (
         "embedding_near_pairs",
         "Exact cosine pairs: MapInPandas over the scan — broadcast "
         "matmul, zero shuffles, no crossJoin node anywhere.",
