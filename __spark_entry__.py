@@ -493,6 +493,19 @@ def q_image_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_quality_filter(imgs)
 
 
+def q_export_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export prep (SDXL aspect-ratio bucketing + WebDataset
+    shard assignment): bucket argmin is ONE codegen'd projection over an
+    array literal (quantized to integer micro-log-units — exact across
+    engines), shard position is one window over the md5-uniform shard
+    key. Fixture oracle recomputes every row via the pure-Python twin."""
+    from pii_filter_spark.operators.export_prep import export_prep
+    from pii_filter_spark.sources.synth import build_input_table
+
+    imgs = build_input_table(spark, 400, seed=42, num_partitions=8)
+    return export_prep(imgs.select("image_id", "w", "h"), num_shards=8)
+
+
 def q_image_metadata_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub of PNG metadata chunks (tEXt/zTXt/iTXt/eXIf/tIME):
     extract text fields, run the full caption detection stack over them,
@@ -1050,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features": q_image_features,
         "image_metadata_scrub": q_image_metadata_scrub,
         "image_quality_filter": q_image_quality_filter,
+        "export_prep": q_export_prep,
         "phash_dedup": q_phash_dedup,
         "phash_near_pairs": q_phash_near_pairs,
         "video_frame_sample": q_video_frame_sample,
@@ -1664,6 +1678,7 @@ def _fixture_oracles() -> dict[str, str]:
         ("image_features", lambda sf: osup.image_features_sql()),
         ("image_metadata_scrub", lambda sf: osup.image_metadata_sql()),
         ("image_quality_filter", lambda sf: osup.image_quality_sql()),
+        ("export_prep", lambda sf: osup.export_prep_sql()),
         ("video_frame_sample", lambda sf: osup.video_frame_sample_sql()),
         ("audio_features", lambda sf: osup.audio_features_sql()),
         ("phash_dedup", lambda sf: osup.phash_dedup_sql()),

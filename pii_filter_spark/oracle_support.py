@@ -588,6 +588,22 @@ def image_quality_sql(n: int = 400, seed: int = 42) -> str:
     )
 
 
+def export_prep_sql(n: int = 400, seed: int = 42, num_shards: int = 8) -> str:
+    """Fixture oracle for export_prep: the pure-Python twin recomputes
+    the quantized log-aspect argmin, the md5 shard hash, and the
+    (md5, id)-ordered position for the same synthetic corpus."""
+    from .operators.export_prep import export_prep_rows
+
+    rows = export_prep_rows(_synth_rows(n, seed), num_shards=num_shards)
+    return _values_sql(
+        rows,
+        ["image_id", "w", "h", "bucket_idx", "bucket_w", "bucket_h",
+         "shard_id", "pos_in_shard"],
+        ["VARCHAR", "INTEGER", "INTEGER", "INTEGER", "INTEGER", "INTEGER",
+         "BIGINT", "INTEGER"],
+    )
+
+
 def video_frame_sample_sql(n: int = 100, seed: int = 42,
                            every_n: int = 2) -> str:
     from .operators.image_stage import _fake_video_decoder

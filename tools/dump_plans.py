@@ -79,6 +79,16 @@ CASES = [
         "set as well.",
     ),
     (
+        "export_prep",
+        "Training-export prep: the aspect-bucket argmin is a pure "
+        "projection (codegen CSE evaluates the shared array_min once "
+        "per row); the ONLY shuffle is the single "
+        "hashpartitioning(shard_id) for the per-shard row_number — "
+        "md5-uniform, so never skewed. The MapInPandas node is the "
+        "synthetic SOURCE generator, not the operator: on a production "
+        "table it is a parquet/Iceberg scan of (image_id, w, h) only.",
+    ),
+    (
         "dsir_selection",
         "DSIR importance resampling: the <=1024-row bucket log-ratio "
         "table is a BroadcastHashJoin onto the raw token stream (the "
