@@ -659,9 +659,11 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): hashed-unigram
     log-likelihood-ratio weights against the 'src0' target slice, top-100
-    raw docs.  Per-bucket log-ratios are quantized to integer micro-nats
-    BEFORE the per-doc sum, so the score is an exact integer — the DuckDB
-    oracle matches bit-for-bit regardless of float summation order."""
+    raw docs.  Per-bucket log-ratios are computed driver-side in pure
+    Python from exact counts (one libm, injected as literals) and quantized
+    to integer micro-nats BEFORE the per-doc sum, so the score is an exact
+    integer — the fixture oracle matches bit-for-bit regardless of float
+    summation order or engine version."""
     from pii_filter_spark.operators.dsir import dsir_select
 
     docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
@@ -793,7 +795,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     exclusive token offset per doc in id order via the two-phase prefix
     sum (per-group window + driver-side group bases), then bin_id /
     bin_offset arithmetically. Integer sums are associative, so the
-    oracle is the plain single-window DuckDB SQL."""
+    pure-Python fixture oracle (exact-int prefix sum) is bit-identical."""
     from pii_filter_spark.operators.packing import pack_sequences
 
     toks = _docs(spark, sf_dir).select(
@@ -1361,25 +1363,6 @@ def _static_oracles(scrub_case, type_case, scrub_restored_case) -> dict[str, str
             FROM s, LATERAL unnest(range(0, len(sents))) AS u(i)
             WHERE trim(sents[u.i + 1]) <> ''
         """,
-        "pack_sequences": r"""
-            WITH t AS (
-              SELECT doc_id,
-                     CAST(len(regexp_split_to_array(trim(text), '\s+'))
-                          AS BIGINT) AS n_tokens
-              FROM documents
-            ), c AS (
-              SELECT doc_id, n_tokens,
-                     COALESCE(SUM(n_tokens) OVER (
-                         ORDER BY doc_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                     ), 0) AS tok_start
-              FROM t
-            )
-            SELECT doc_id, n_tokens, tok_start,
-                   CAST(tok_start // 2048 AS BIGINT) AS bin_id,
-                   tok_start % 2048 AS bin_offset
-            FROM c
-        """,
         "span_dedup": f"""
             WITH docs AS (
               SELECT doc_id,
@@ -1545,39 +1528,6 @@ def _static_oracles(scrub_case, type_case, scrub_restored_case) -> dict[str, str
               FROM grams GROUP BY ngram
             ) WHERE rank <= 20
         """,
-        "dsir_selection": r"""
-            WITH tok AS (
-              SELECT doc_id, source = 'src0' AS tgt,
-                     unnest(list_filter(string_split(regexp_replace(
-                         lower(trim(text)), '\s+', ' ', 'g'), ' '),
-                         w -> w <> '')) AS w
-              FROM documents
-            ), b AS (
-              SELECT doc_id, tgt,
-                     CAST(concat('0x', substr(md5(w), 1, 7)) AS BIGINT)
-                         % 1024 AS bkt
-              FROM tok
-            ), counts AS (
-              SELECT bkt,
-                     SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
-                     SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS cr
-              FROM b GROUP BY bkt
-            ), totals AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM counts),
-            ratio AS (
-              SELECT bkt,
-                     CAST(round(1000000.0 * (
-                         ln((ct + 0.5) / (tt + 0.5 * 1024))
-                       - ln((cr + 0.5) / (tr + 0.5 * 1024)))) AS BIGINT)
-                         AS lr
-              FROM counts, totals
-            )
-            SELECT b.doc_id, SUM(r.lr) AS dsir_weight_unats
-            FROM b JOIN ratio r USING (bkt)
-            WHERE NOT b.tgt
-            GROUP BY b.doc_id
-            ORDER BY dsir_weight_unats DESC, b.doc_id ASC
-            LIMIT 100
-        """,
         "contamination": r"""
             WITH toks AS (
               SELECT doc_id,
@@ -1693,6 +1643,8 @@ def _fixture_oracles() -> dict[str, str]:
         ("ann_ivf", osup.ann_ivf_sql),
         ("ann_batch", osup.ann_batch_sql),
         ("embedding_near_pairs_lsh", osup.emb_near_pairs_lsh_sql),
+        ("pack_sequences", osup.pack_sequences_sql),
+        ("dsir_selection", osup.dsir_selection_sql),
     ]:
         try:
             out[name] = gen(sf)

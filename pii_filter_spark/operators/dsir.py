@@ -12,30 +12,41 @@ step that sits in front of the quality/PII stages in this engine
 /root/reference/src/core/text_processor.py — the reference filters;
 DSIR chooses WHAT to filter at corpus scale).
 
-Engine-portability is engineered in two places so an independent DuckDB
+Engine-portability is engineered in three places so an independent
 oracle reproduces the result bit-for-bit:
 
 * bucket assignment is a portable md5-prefix hash (same recipe as the
   KMV sketch in operators/sketch.py) — no engine-private hash;
-* the per-bucket log-ratio is FIXED to integer micro-nats (round to
-  1e-6 nat, cast to long) before the per-document sum, so the document
-  score is an exact integer SUM — independent of float summation order
-  across engines, partitionings, and AQE decisions.
+* the per-bucket log-ratio is computed ONCE, driver-side, in pure
+  Python from EXACT integer bucket counts (`ratio_table_rows`) and fed
+  to the cluster as literals — no engine ever evaluates `ln()`, so a
+  1-ulp libm/JVM-Math disagreement at a rounding boundary can never
+  flip a quantized value (round-3 driver hash-FAIL root cause);
+* the log-ratio is quantized to integer micro-nats before the
+  per-document sum, so the document score is an exact integer SUM —
+  independent of float summation order across engines, partitionings,
+  and AQE decisions.
 
 Scale shape (10^12 docs): explode tokens -> groupBy(bucket) with
-map-side partial aggregation into a <= num_buckets-row ratio table ->
-broadcast it back onto the raw token stream -> groupBy(doc_id) integer
-sum -> TakeOrderedAndProject for the global top-k.  No global sort of
-the corpus, no skew risk (md5 buckets are uniform by construction), and
-the only small-side state is the ratio table, capped at num_buckets
-rows.  The token stream is recomputed for the two consumers rather than
-cached — at 100 TB a second columnar scan is cheaper than materializing
-an exploded token table.
+map-side partial aggregation into a <= num_buckets-row exact count
+table (bounded collect — the mixing.mixture_rates pattern) -> pure-
+Python log-ratios -> broadcast the literal ratio table back onto the
+raw token stream -> groupBy(doc_id) integer sum -> TakeOrderedAndProject
+for the global top-k.  No global sort of the corpus, no skew risk (md5
+buckets are uniform by construction), and the only driver-side state is
+the count/ratio table, capped at num_buckets rows.  The token stream is
+recomputed for the two consumers rather than cached — at 100 TB a
+second columnar scan is cheaper than materializing an exploded token
+table.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+import math
+from decimal import ROUND_HALF_UP, Decimal
+from typing import Dict, List, Tuple
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -53,6 +64,7 @@ def _token_array(text_col: str) -> Column:
 
 def hashed_bucket(col: Column, num_buckets: int) -> Column:
     """Portable token -> bucket hash: first 28 bits of md5, mod buckets.
+    Pure-Python twin: int(md5(w.encode()).hexdigest()[:7], 16) % buckets;
     DuckDB equivalent:
     CAST(concat('0x', substr(md5(w), 1, 7)) AS BIGINT) % num_buckets."""
     return F.pmod(
@@ -61,30 +73,61 @@ def hashed_bucket(col: Column, num_buckets: int) -> Column:
     )
 
 
+def _half_up_int(x: float) -> int:
+    """BigDecimal-style HALF_UP on the shortest-repr decimal — kept for
+    continuity with the previous F.round(…) semantics.  Parity needs only
+    "one function, evaluated once", which driver-side computation gives."""
+    return int(Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def log_ratio_unats(
+    ct: int, cr: int, tt: int, tr: int, num_buckets: int, alpha: float = 0.5
+) -> int:
+    """Smoothed log(p_target/p_raw) for one bucket, in integer micro-nats.
+    Pure function of exact integer counts — the single place `ln` is ever
+    evaluated; shared verbatim by the Spark plan (as literals) and the
+    fixture oracle (oracle_support.dsir_selection_sql)."""
+    lr = math.log((ct + alpha) / (tt + alpha * num_buckets)) - math.log(
+        (cr + alpha) / (tr + alpha * num_buckets)
+    )
+    return _half_up_int(lr * 1e6)
+
+
+def ratio_table_rows(
+    counts: Dict[int, Tuple[int, int]], num_buckets: int, alpha: float = 0.5
+) -> List[Tuple[int, int]]:
+    """(bucket, lr_unats) rows from exact per-bucket (target, raw) counts.
+    <= num_buckets rows — broadcastable by construction."""
+    tt = sum(ct for ct, _ in counts.values())
+    tr = sum(cr for _, cr in counts.values())
+    return [
+        (b, log_ratio_unats(ct, cr, tt, tr, num_buckets, alpha))
+        for b, (ct, cr) in sorted(counts.items())
+    ]
+
+
 def dsir_bucket_log_ratios(
     tokens: DataFrame,
     *,
     num_buckets: int,
     alpha: float = 0.5,
 ) -> DataFrame:
-    """(bucket, lr_unats): smoothed log(p_target/p_raw) per hash bucket,
-    quantized to integer micro-nats.  `tokens` must have columns
-    (_b: long bucket, _tgt: boolean).  Output is <= num_buckets rows —
-    broadcastable by construction."""
-    counts = tokens.groupBy("_b").agg(
-        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(~F.col("_tgt"), 1).otherwise(0)).alias("cr"),
-    )
-    # totals over the tiny counts frame: a single-partition window over
-    # <= num_buckets rows, NOT over the corpus
-    w = Window.partitionBy()
-    denom_t = F.sum("ct").over(w) + F.lit(alpha * num_buckets)
-    denom_r = F.sum("cr").over(w) + F.lit(alpha * num_buckets)
-    lr = F.log((F.col("ct") + alpha) / denom_t) - F.log(
-        (F.col("cr") + alpha) / denom_r
-    )
-    return counts.select(
-        "_b", F.round(lr * 1e6).cast("long").alias("lr_unats")
+    """(bucket, lr_unats) ratio table for a token frame with columns
+    (_b: long bucket, _tgt: boolean).  Exact integer counts are collected
+    (<= num_buckets rows, the bounded mixing.mixture_rates pattern) and
+    the transcendental step runs once, driver-side, in `log_ratio_unats`."""
+    counts = {
+        int(r["_b"]): (int(r["ct"]), int(r["cr"]))
+        for r in tokens.groupBy("_b")
+        .agg(
+            F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("ct"),
+            F.sum(F.when(~F.col("_tgt"), 1).otherwise(0)).alias("cr"),
+        )
+        .collect()
+    }
+    rows = ratio_table_rows(counts, num_buckets, alpha)
+    return tokens.sparkSession.createDataFrame(
+        rows, "_b long, lr_unats long"
     )
 
 

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -48,8 +49,15 @@ DEFAULT_BUCKETS: tuple = (
 )
 
 
+def _half_up_int(x: float) -> int:
+    """Twin of F.round(double): BigDecimal shortest-repr HALF_UP — the
+    builtin round() is half-to-even and would diverge on exact .5
+    micro-log boundaries (round-3 ADVICE)."""
+    return int(Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
 def _log_aspect_micro(w: float, h: float) -> int:
-    return round(1e6 * math.log(w / h))
+    return _half_up_int(1e6 * math.log(w / h))
 
 
 def assign_aspect_buckets(
@@ -118,7 +126,7 @@ def export_prep_rows(rows, num_shards: int = 8, buckets: tuple = DEFAULT_BUCKETS
     `rows` is an iterable of dicts with image_id/w/h."""
     staged = []
     for r in rows:
-        la = round(1e6 * math.log(r["w"] / r["h"]))
+        la = _half_up_int(1e6 * math.log(r["w"] / r["h"]))
         d_i = min(
             (abs(la - _log_aspect_micro(bw, bh)), i)
             for i, (bw, bh) in enumerate(buckets)

@@ -47,11 +47,27 @@ def image_quality_filter(
     aspect_ok, density_ok, fmt_ok, keep) with aspect/bytes_per_px
     rounded to 4 for hashing; rule comparisons use exact values.
     """
-    aspect = F.greatest("w", "h") / F.least("w", "h")
-    bpp = F.length("bytes") / (F.col("w") * F.col("h") * F.lit(3))
-    size_ok = (F.col("w") >= min_side) & (F.col("h") >= min_side)
-    aspect_ok = aspect <= F.lit(float(max_aspect))
-    density_ok = (bpp >= F.lit(float(min_bpp))) & (bpp <= F.lit(float(max_bpp)))
+    # Zero/negative dims (corrupt web-crawl metadata) would make the
+    # divisions null and keep neither-true-nor-false (round-3 ADVICE):
+    # short-circuit them to an explicit drop in both engines.
+    # try_divide: under ANSI mode (Spark 4 default) a plain `/` on a
+    # zero-dim row would throw and kill the whole job — corrupt rows must
+    # degrade to a drop verdict, never to a failed 100-TB stage.
+    degenerate = (F.col("w") <= 0) | (F.col("h") <= 0)
+    aspect = F.when(
+        ~degenerate, F.try_divide(F.greatest("w", "h"), F.least("w", "h"))
+    )
+    bpp = F.when(
+        ~degenerate,
+        F.try_divide(F.length("bytes"), F.col("w") * F.col("h") * F.lit(3)),
+    )
+    size_ok = ~degenerate & (F.col("w") >= min_side) & (F.col("h") >= min_side)
+    aspect_ok = F.when(degenerate, F.lit(False)).otherwise(
+        aspect <= F.lit(float(max_aspect))
+    )
+    density_ok = F.when(degenerate, F.lit(False)).otherwise(
+        (bpp >= F.lit(float(min_bpp))) & (bpp <= F.lit(float(max_bpp)))
+    )
     fmt_ok = F.col("fmt").isin(*fmts)
     return df.select(
         "image_id", "w", "h", "fmt",
@@ -81,6 +97,9 @@ def image_quality_row(
     (same unrounded comparisons, same reported rounding)."""
     from ..oracle_support import _round_like_spark
 
+    if w <= 0 or h <= 0:  # degenerate dims: explicit drop, null diagnostics
+        return (image_id, w, h, fmt, None, None, False, False, False,
+                fmt in fmts, False)
     aspect = max(w, h) / min(w, h)
     bpp = n_bytes / (w * h * 3)
     size_ok = w >= min_side and h >= min_side

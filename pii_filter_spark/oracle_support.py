@@ -822,3 +822,103 @@ def semdedup_sql(sf_dir: str, kc: int = 8, iters: int = 8,
         rows, ["vec_id", "ivf_cluster", "keep"],
         ["BIGINT", "BIGINT", "BOOLEAN"],
     )
+
+
+# ---------------------------------------------------------------------------
+# packing / DSIR oracles (round-4: the two round-3 driver hash-FAILs were
+# cross-engine fragility — DuckDB window SQL + DuckDB ln() — so both are now
+# pure-Python computed-literal re-derivations, no second engine in the loop)
+# ---------------------------------------------------------------------------
+
+_JAVA_WS = "[ \t\n\x0b\f\r]+"  # Java regex \s is ASCII-only; Python's isn't
+
+
+def _spark_trim(t: str) -> str:
+    """Twin of F.trim: strips the space character only."""
+    return t.strip(" ")
+
+
+def _split_size_like_spark(t: str) -> int:
+    """Twin of F.size(F.split(F.trim(text), '\\s+')): Java split with
+    limit=-1 keeps interior/trailing empties (none after trim on these
+    corpora); empty input yields [''] — size 1, matching Spark."""
+    import re
+
+    return len(re.split(_JAVA_WS, _spark_trim(t)))
+
+
+def _dsir_tokens(t: str) -> List[str]:
+    """Twin of operators.dsir._token_array: lower + whitespace-normalize +
+    split + drop empties."""
+    import re
+
+    return [
+        w
+        for w in re.sub(_JAVA_WS, " ", _spark_trim(t).lower()).split(" ")
+        if w != ""
+    ]
+
+
+def pack_sequences_sql(sf_dir: str, seq_len: int = 2048) -> str:
+    """q_pack_sequences expected output: global exclusive token prefix sum
+    in doc_id order, re-derived with exact Python integers (associative, so
+    Spark's two-phase grouped prefix sum is bit-identical by construction)."""
+    docs = _read_docs(sf_dir)  # already ORDER BY doc_id
+    rows, running = [], 0
+    for d, t in docs:
+        n = _split_size_like_spark(t or "")
+        rows.append((d, n, running, running // seq_len, running % seq_len))
+        running += n
+    return _values_sql(
+        rows,
+        ["doc_id", "n_tokens", "tok_start", "bin_id", "bin_offset"],
+        ["BIGINT", "BIGINT", "BIGINT", "BIGINT", "BIGINT"],
+    )
+
+
+def dsir_selection_sql(
+    sf_dir: str,
+    *,
+    target_source: str = "src0",
+    num_buckets: int = 1024,
+    alpha: float = 0.5,
+    k: int = 100,
+) -> str:
+    """q_dsir_selection expected output, re-derived end-to-end in Python:
+    md5-prefix bucket twin, exact integer counts, and the SAME
+    operators.dsir.log_ratio_unats the Spark plan folds in as literals —
+    `ln` is evaluated by exactly one libm, so no engine pair can disagree."""
+    import hashlib
+
+    from .operators.dsir import ratio_table_rows
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, source, text "
+        f"FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+
+    def bucket(w: str) -> int:
+        return int(hashlib.md5(w.encode("utf-8")).hexdigest()[:7], 16) % num_buckets
+
+    counts: dict = {}
+    doc_buckets: List[Tuple[int, List[int]]] = []  # raw docs only
+    for d, src, t in docs:
+        tgt = src == target_source
+        bs = [bucket(w) for w in _dsir_tokens(t or "")]
+        for b in bs:
+            ct, cr = counts.get(b, (0, 0))
+            counts[b] = (ct + 1, cr) if tgt else (ct, cr + 1)
+        if not tgt:
+            doc_buckets.append((d, bs))
+    lr = dict(ratio_table_rows(counts, num_buckets, alpha))
+    scored = [
+        (d, sum(lr[b] for b in bs)) for d, bs in doc_buckets if bs
+    ]
+    scored.sort(key=lambda r: (-r[1], r[0]))
+    return _values_sql(
+        scored[:k],
+        ["doc_id", "dsir_weight_unats"],
+        ["BIGINT", "BIGINT"],
+    )

@@ -23,6 +23,24 @@ def test_rule_logic_pure():
     assert good[6:] == (True, True, True, True, True)
 
 
+def test_degenerate_dims_drop_in_both_paths(spark):
+    # w/h == 0 (corrupt crawl metadata) must be an explicit drop, not a
+    # null keep (round-3 ADVICE)
+    for w, h in ((0, 40), (40, 0), (0, 0), (-3, 40)):
+        row = image_quality_row("z", w, h, "png", 1000)
+        assert row[4] is None and row[5] is None
+        assert row[6:] == (False, False, False, True, False)
+    df = spark.createDataFrame(
+        [("z0", 0, 40, "png", b"x" * 1000), ("z1", 40, 40, "png", b"x" * 2500)],
+        "image_id string, w int, h int, fmt string, bytes binary",
+    )
+    got = {r["image_id"]: r for r in image_quality_filter(df).collect()}
+    assert got["z0"]["keep"] is False and got["z0"]["size_ok"] is False
+    assert got["z0"]["aspect_ok"] is False and got["z0"]["density_ok"] is False
+    assert got["z0"]["aspect"] is None and got["z0"]["bytes_per_px"] is None
+    assert got["z1"]["keep"] is True
+
+
 def test_operator_matches_pure_and_stays_native(spark):
     df = build_input_table(spark, 60, seed=42, num_partitions=4)
     out = image_quality_filter(df)
