@@ -1037,70 +1037,75 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordered cheapest-first (measured sf0.1 wall time, BENCH_r03): the
+    # driver walks this dict in order under a time budget, so ascending
+    # cost maximizes how many entries get a correctness row per round
+    # (round-3 verdict: 13 tail entries went unsampled under insertion
+    # order).
     return {
-        "pii_scrub_captions": q_pii_scrub_captions,
-        "sensitive_scrub": q_sensitive_scrub,
-        "pii_type_counts": q_pii_type_counts,
-        "doc_word_stats": q_doc_word_stats,
-        "quality_filter_heuristic": q_quality_filter_heuristic,
-        "dedup_exact": q_dedup_exact,
-        "fingerprints": q_fingerprints,
-        "token_counts_by_source": q_token_counts_by_source,
-        "lang_distribution": q_lang_distribution,
-        "ann_bruteforce": q_ann_bruteforce,
         "embedding_norms": q_embedding_norms,
-        "metrics_rollup": q_metrics_rollup,
-        "golden_broadcast_join": q_golden_broadcast_join,
-        "dedup_window": q_dedup_window,
-        "resume_antijoin": q_resume_antijoin,
+        "lang_distribution": q_lang_distribution,
+        "events_rollup": q_events_rollup,
+        "stratified_sample": q_stratified_sample,
+        "skew_salted_counts": q_skew_salted_counts,
+        "fingerprints": q_fingerprints,
         "events_by_type": q_events_by_type,
         "events_windowed": q_events_windowed,
-        "events_json_roundtrip": q_events_json_roundtrip,
-        "event_sessions": q_event_sessions,
-        "restore_roundtrip": q_restore_roundtrip,
-        "restore_label_cleanup": q_restore_label_cleanup,
-        "scrub_golden_f1": q_scrub_golden_f1,
-        "skew_salted_counts": q_skew_salted_counts,
-        "image_verify": q_image_verify,
-        "image_features": q_image_features,
-        "image_metadata_scrub": q_image_metadata_scrub,
-        "image_quality_filter": q_image_quality_filter,
-        "export_prep": q_export_prep,
-        "phash_dedup": q_phash_dedup,
-        "phash_near_pairs": q_phash_near_pairs,
-        "video_frame_sample": q_video_frame_sample,
         "audio_features": q_audio_features,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash_near_pairs": q_simhash_near_pairs,
-        "ngram_jaccard": q_ngram_jaccard,
+        "resume_antijoin": q_resume_antijoin,
+        "metrics_rollup": q_metrics_rollup,
+        "set_ops": q_set_ops,
+        "video_frame_sample": q_video_frame_sample,
+        "source_mixture": q_source_mixture,
+        "perplexity_scores": q_perplexity_scores,
+        "bpe_token_totals": q_bpe_token_totals,
+        "dedup_window": q_dedup_window,
+        "langid_documents": q_langid_documents,
+        "simhash": q_simhash,
+        "doc_word_stats": q_doc_word_stats,
+        "image_quality_filter": q_image_quality_filter,
+        "ann_ivf": q_ann_ivf,
+        "image_metadata_scrub": q_image_metadata_scrub,
         "sentence_split": q_sentence_split,
+        "ann_lsh": q_ann_lsh,
+        "token_counts_by_source": q_token_counts_by_source,
+        "ann_batch": q_ann_batch,
+        "ann_bruteforce": q_ann_bruteforce,
+        "kmv_distinct_users": q_kmv_distinct_users,
+        "golden_broadcast_join": q_golden_broadcast_join,
+        "repetition_signals": q_repetition_signals,
+        "quality_filter_heuristic": q_quality_filter_heuristic,
+        "minhash_signatures": q_minhash_signatures,
+        "export_prep": q_export_prep,
+        "image_features": q_image_features,
+        "dedup_exact": q_dedup_exact,
+        "embedding_near_pairs": q_embedding_near_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
         "span_dedup": q_span_dedup,
         "pack_sequences": q_pack_sequences,
+        "phash_dedup": q_phash_dedup,
+        "image_verify": q_image_verify,
+        "top_bigrams": q_top_bigrams,
+        "sensitive_scrub": q_sensitive_scrub,
+        "curation_pipeline": q_curation_pipeline,
+        "quality_full": q_quality_full,
+        "lsh_bucket_stats": q_lsh_bucket_stats,
+        "events_json_roundtrip": q_events_json_roundtrip,
+        "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
+        "event_sessions": q_event_sessions,
+        "dsir_selection": q_dsir_selection,
+        "pii_type_counts": q_pii_type_counts,
+        "pii_scrub_captions": q_pii_scrub_captions,
+        "phash_near_pairs": q_phash_near_pairs,
+        "contamination": q_contamination,
         "quality_classifier": q_quality_classifier,
-        "source_mixture": q_source_mixture,
+        "restore_label_cleanup": q_restore_label_cleanup,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "restore_roundtrip": q_restore_roundtrip,
+        "scrub_golden_f1": q_scrub_golden_f1,
         "semdedup": q_semdedup,
         "dedup_clusters": q_dedup_clusters,
-        "stratified_sample": q_stratified_sample,
-        "kmv_distinct_users": q_kmv_distinct_users,
-        "lsh_bucket_stats": q_lsh_bucket_stats,
-        "repetition_signals": q_repetition_signals,
-        "contamination": q_contamination,
-        "dsir_selection": q_dsir_selection,
-        "top_bigrams": q_top_bigrams,
-        "curation_pipeline": q_curation_pipeline,
-        "embedding_near_pairs": q_embedding_near_pairs,
-        "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
-        "bpe_token_totals": q_bpe_token_totals,
-        "langid_documents": q_langid_documents,
-        "perplexity_scores": q_perplexity_scores,
-        "minhash_signatures": q_minhash_signatures,
-        "simhash": q_simhash,
-        "ann_lsh": q_ann_lsh,
-        "ann_ivf": q_ann_ivf,
-        "ann_batch": q_ann_batch,
-        "events_rollup": q_events_rollup,
-        "set_ops": q_set_ops,
-        "quality_full": q_quality_full,
     }
 
 
