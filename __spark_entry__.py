@@ -670,6 +670,32 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_select(docs, F.col("source") == "src0", k=100)
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-key dedup (CCNet/RefinedWeb first stage): deterministic crawl
+    URLs synthesized per doc_id (scheme/case/www/tracking-param/fragment
+    variants over 120 canonical pages), normalized by the pure-Catalyst
+    regexp chain, min-id survivor per normalized key. Fully
+    SQL-expressible; the oracle is the identical chain in DuckDB."""
+    from pii_filter_spark.operators.url_dedup import url_dedup
+
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 3 == 0, F.lit("http://"))
+        .when(d % 3 == 1, F.lit("https://"))
+        .otherwise(F.lit("https://www.")),
+        F.when(d % 2 == 0, F.lit("Example.com")).otherwise(F.lit("example.com")),
+        F.lit("/articles/item-"),
+        (d % 120).cast("string"),
+        F.when(d % 5 == 0, F.lit("?utm_source=feed"))
+        .when(d % 5 == 1, F.lit("?page=2&utm_medium=em"))
+        .when(d % 5 == 2, F.lit("?page=2"))
+        .when(d % 5 == 3, F.lit("/"))
+        .otherwise(F.lit("#frag")),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id").withColumn("url", url)
+    return url_dedup(docs)
+
+
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per document: sentence metrics as
     in-row HOFs, top-word count RELATIONAL (explode + (doc, word)
@@ -1060,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_scores": q_perplexity_scores,
         "bpe_token_totals": q_bpe_token_totals,
         "dedup_window": q_dedup_window,
+        "url_dedup": q_url_dedup,
         "langid_documents": q_langid_documents,
         "simhash": q_simhash,
         "doc_word_stats": q_doc_word_stats,
@@ -1117,6 +1144,36 @@ def oracle_sql() -> dict[str, str]:
     oracles = _fixture_oracles()
     oracles.update(_static_oracles(scrub_case, type_case, scrub_restored_case))
     return oracles
+
+
+def _url_dedup_oracle_sql() -> str:
+    """DuckDB twin of q_url_dedup: same synthesized URLs, same
+    normalization chain (operators/url_dedup.normalize_url_sql)."""
+    from pii_filter_spark.operators.url_dedup import normalize_url_sql
+
+    return f"""
+        WITH u AS (
+          SELECT doc_id,
+                 (CASE doc_id % 3 WHEN 0 THEN 'http://'
+                                  WHEN 1 THEN 'https://'
+                                  ELSE 'https://www.' END)
+                 || (CASE doc_id % 2 WHEN 0 THEN 'Example.com'
+                                     ELSE 'example.com' END)
+                 || '/articles/item-' || CAST(doc_id % 120 AS VARCHAR)
+                 || (CASE doc_id % 5 WHEN 0 THEN '?utm_source=feed'
+                                     WHEN 1 THEN '?page=2&utm_medium=em'
+                                     WHEN 2 THEN '?page=2'
+                                     WHEN 3 THEN '/'
+                                     ELSE '#frag' END) AS url
+          FROM documents
+        ), n AS (
+          SELECT doc_id, url, {normalize_url_sql('url')} AS url_norm FROM u
+        )
+        SELECT doc_id, url, url_norm,
+               row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) = 1
+                   AS keep
+        FROM n
+    """
 
 
 def _static_oracles(scrub_case, type_case, scrub_restored_case) -> dict[str, str]:
@@ -1232,6 +1289,7 @@ def _static_oracles(scrub_case, type_case, scrub_restored_case) -> dict[str, str
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name
         """,
+        "url_dedup": _url_dedup_oracle_sql(),
         "dedup_window": """
             SELECT o_custkey, o_orderkey FROM (
               SELECT o_custkey, o_orderkey,
