@@ -784,6 +784,25 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup (Lee et al. 2022 §4 ExactSubstr): every
+    duplicated 20-token span beyond its global first occurrence is
+    removed (the paper deploys 50; these synthetic docs average ~54
+    tokens, so 20 keeps the check non-vacuous — 23/500 docs carry real
+    cross-doc duplication at sf0.01). Span hashes are computed in-row
+    via HOFs (no per-doc window, no Python); one shuffle on span_hash
+    for the first-occurrence window, one tiny groupBy back onto docs.
+    Oracle is the operator's pure-Python twin as a literal fixture."""
+    from pii_filter_spark.operators.exact_substring import (
+        exact_substring_dedup,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return exact_substring_dedup(
+        docs, span_tokens=20, id_col="doc_id", text_col="text"
+    )
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality scorer (fastText-style hashed-ngram logistic
     classifier, distilled from the heuristic stage) + GPT-3 Pareto keep
@@ -1109,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs": q_embedding_near_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "span_dedup": q_span_dedup,
+        "exact_substring": q_exact_substring,
         "pack_sequences": q_pack_sequences,
         "phash_dedup": q_phash_dedup,
         "image_verify": q_image_verify,
@@ -1706,6 +1726,7 @@ def _fixture_oracles() -> dict[str, str]:
         ("ann_ivf", osup.ann_ivf_sql),
         ("ann_batch", osup.ann_batch_sql),
         ("embedding_near_pairs_lsh", osup.emb_near_pairs_lsh_sql),
+        ("exact_substring", osup.exact_substring_sql),
         ("pack_sequences", osup.pack_sequences_sql),
         ("dsir_selection", osup.dsir_selection_sql),
     ]:

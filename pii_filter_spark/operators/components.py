@@ -3,24 +3,38 @@
 Completes the dedup story: LSH produces PAIRS (minhash_lsh_pairs,
 simhash_near_pairs, cosine_near_pairs_lsh); real dedup needs CLUSTERS —
 transitive closure of the pair graph — and then one survivor per
-cluster. This is iterative min-label propagation expressed entirely in
-DataFrame joins/aggregations:
+cluster.
 
-    label(v) <- min(label(v), min over neighbors u of label(u))
+Algorithm: alternating large-star / small-star (Kiveris et al. 2014,
+"Connected Components in MapReduce and Beyond", Algorithm 2), expressed
+entirely in DataFrame joins/aggregations:
 
-repeated to fixpoint. Each iteration is one groupBy-min over the edge
-list joined to current labels — shuffle-partitioned by vertex id, no
-driver-side graph. Convergence is bounded by the cluster diameter;
-near-dup clusters are dense and shallow (LSH links most member pairs
-directly), so a handful of iterations closes them — max_iter is a
-safety bound, and hitting it raises rather than returning a partially
-contracted labeling. localCheckpoint truncates the iteration lineage so
-plans stay constant-size (the standard iterative-algorithm idiom; on a
-production cluster use reliable checkpointing instead).
+  * large-star(u): for every neighbor v > u, connect v to
+    min(N(u) ∪ {u}) — strictly-larger neighbors re-point at u's best
+    known root;
+  * small-star(u): orient every edge large→small, connect u and all of
+    its smaller neighbors to min(N≤(u) ∪ {u}).
+
+Each operation is one groupBy-min + one join, both partitioned by
+vertex id. The paper proves the edge set never grows beyond the input
+and the alternation converges in O(log² n) rounds (O(log n) in
+practice) to a forest of stars, where every vertex has exactly one edge
+to its component's minimum id — INCLUDING chain-shaped components,
+which the previous min-label-propagation implementation (O(diameter)
+rounds) could not close within its iteration bound; see
+tests/test_dedup.py::test_connected_components_long_chain.
+
+Convergence is detected exactly (count equality + one-sided subtract —
+set equality, not a hashed fingerprint), and hitting max_iter raises
+rather than returning a partially contracted labeling. localCheckpoint
+truncates the iteration lineage so plans stay constant-size (the
+standard iterative-algorithm idiom; on a production cluster use
+reliable checkpointing instead).
 
 At 10^12-row scale the edge list is the small side (near-dup pairs ≪
-corpus); labels stay partitioned by id throughout, and AQE reuses the
-exchange across iterations.
+corpus); every shuffle is keyed by vertex id, skewed star-centers are
+exactly the rows the algorithm shrinks first, and the doc join in
+dedup_clusters stays a plain key join.
 """
 
 from __future__ import annotations
@@ -29,56 +43,93 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _canon(df: DataFrame) -> DataFrame:
+    """Undirected edge set as distinct (a=min, b=max), self-loops dropped."""
+    a = F.least("src", "dst")
+    b = F.greatest("src", "dst")
+    return (
+        df.select(a.alias("a"), b.alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """(v, min(N(u) ∪ {u})) for every neighbor v > u, canonicalized."""
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
+    return _canon(
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient large→small; connect u and each smaller neighbor to
+    min(N≤(u) ∪ {u}) (= min smaller neighbor, since all v < u)."""
+    d = e.select(F.col("b").alias("big"), F.col("a").alias("small"))
+    mins = d.groupBy("big").agg(F.min("small").alias("m"))
+    re_pointed = d.join(mins, "big").select(
+        F.col("small").alias("src"), F.col("m").alias("dst")
+    )
+    star_root = mins.select(
+        F.col("big").alias("src"), F.col("m").alias("dst")
+    )
+    return _canon(re_pointed.unionByName(star_root))
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
-    max_iter: int = 25,
+    max_iter: int = 50,
 ) -> DataFrame:
     """(id, component) for every vertex in the edge list; component =
     min vertex id of the connected component."""
-    sym = (
+    e = _canon(
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-        )
+    ).localCheckpoint()
+    vertices = (
+        e.select(F.col("a").alias("id"))
+        .unionByName(e.select(F.col("b").alias("id")))
         .distinct()
         .localCheckpoint()
     )
-    labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-    )
     for _ in range(max_iter):
-        # min label among each vertex's neighbors
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        # carry the previous label through the projection so convergence
-        # is a filter on the SAME materialized frame, not another join
-        updated = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
-                ).alias("component"),
-                F.col("component").alias("_prev"),
+        e = _small_star(_large_star(e)).localCheckpoint()
+        # convergence = the exact star-forest invariant (not just
+        # edge-set stability): every vertex b has exactly one edge, and
+        # no root also appears as a leaf — which forces every root to be
+        # its component's minimum (a smaller leaf would canonicalize the
+        # edge the other way and violate disjointness). Both operations
+        # preserve connectivity (Kiveris et al., Lemma 1/2), so a star
+        # forest over the same vertex set IS the answer.
+        n, distinct_b = e.agg(
+            F.count(F.lit(1)), F.countDistinct("b")
+        ).first()
+        if n == distinct_b:
+            root_is_leaf = (
+                e.select("a")
+                .join(e.select(F.col("b").alias("a")), "a", "semi")
+                .limit(1)
+                .count()
             )
-            .localCheckpoint()
-        )
-        changed = (
-            updated.where(F.col("component") != F.col("_prev")).limit(1).count()
-        )
-        labels = updated.drop("_prev")
-        if changed == 0:
-            return labels
+            if root_is_leaf == 0:
+                labels = e.select(
+                    F.col("b").alias("id"), F.col("a").alias("component")
+                )
+                return vertices.join(labels, "id", "left").select(
+                    "id",
+                    F.coalesce("component", F.col("id")).alias("component"),
+                )
     raise RuntimeError(
-        f"connected_components did not converge in {max_iter} iterations "
-        "(pathological chain-shaped component? raise max_iter)"
+        f"connected_components did not converge in {max_iter} "
+        "large-star/small-star rounds (theoretical bound is O(log^2 n); "
+        "raise max_iter)"
     )
 
 

@@ -859,6 +859,22 @@ def _dsir_tokens(t: str) -> List[str]:
     ]
 
 
+def exact_substring_sql(sf_dir: str, span_tokens: int = 20) -> str:
+    """q_exact_substring expected output: the operator's pure-Python twin
+    (operators/exact_substring.exact_substring_dedup_rows) re-derives the
+    global first-occurrence removal over the same parquet — md5 span keys
+    and (doc_id, start_idx) order are engine-independent integers/strings,
+    so the fixture is exact with no cross-engine float or window SQL."""
+    from .operators.exact_substring import exact_substring_dedup_rows
+
+    rows = exact_substring_dedup_rows(_read_docs(sf_dir), span_tokens)
+    return _values_sql(
+        rows,
+        ["doc_id", "n_tokens", "n_removed", "text_dedup"],
+        ["BIGINT", "INTEGER", "INTEGER", "VARCHAR"],
+    )
+
+
 def pack_sequences_sql(sf_dir: str, seq_len: int = 2048) -> str:
     """q_pack_sequences expected output: global exclusive token prefix sum
     in doc_id order, re-derived with exact Python integers (associative, so
