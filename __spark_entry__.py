@@ -839,14 +839,17 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style contiguous sequence packing (seq_len=2048): global
     exclusive token offset per doc in id order via the two-phase prefix
     sum (per-group window + driver-side group bases), then bin_id /
-    bin_offset arithmetically. Integer sums are associative, so the
-    pure-Python fixture oracle (exact-int prefix sum) is bit-identical."""
+    bin_offset arithmetically. n_tokens is tokenizer-EXACT byte-level
+    BPE (core/bpe.py) — block boundaries are model-token-true, not
+    whitespace-approximate. Integer sums are associative, so the
+    pure-Python fixture oracle (same tokenizer, exact-int prefix sum)
+    is bit-identical."""
     from pii_filter_spark.operators.packing import pack_sequences
+    from pii_filter_spark.operators.textstats import bpe_exact_counts
 
-    toks = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
-    )
+    toks = bpe_exact_counts(
+        _par(spark, _docs(spark, sf_dir)).select("doc_id", "text")
+    ).withColumnRenamed("n_bpe_tokens", "n_tokens")
     return pack_sequences(toks, seq_len=2048)
 
 
@@ -923,17 +926,20 @@ def q_embedding_near_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bpe_token_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish pre-tokenization counts rolled up by source; the token
-    regex is written in shared Java-regex/RE2 syntax so the oracle runs
-    the IDENTICAL pattern."""
-    from pii_filter_spark.operators.textstats import token_counts
+    """Tokenizer-EXACT byte-level BPE totals per source (frozen vocab,
+    core/bpe.py — Sennrich 2016 / GPT-2 byte level), one Arrow pandas-UDF
+    pass + map-side-combined groupBy. These per-source token budgets are
+    what temperature mixing (q_source_mixture) and packing consume at
+    export time. Oracle is a fixture re-derived through the SAME pure
+    tokenizer — exact integers, no cross-engine regex dialects."""
+    from pii_filter_spark.operators.textstats import bpe_exact_counts
 
-    tc = token_counts(_docs(spark, sf_dir))
-    src = _docs(spark, sf_dir).select("doc_id", "source")
-    return (
-        tc.join(src, "doc_id")
-        .groupBy("source")
-        .agg(F.sum("bpe_tokens").cast("long").alias("total_bpe_tokens"))
+    docs = _par(spark, _docs(spark, sf_dir)).select(
+        "doc_id", "source", "text"
+    )
+    counts = bpe_exact_counts(docs.select("source", "text"), id_col="source")
+    return counts.groupBy("source").agg(
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens")
     )
 
 
@@ -1660,14 +1666,6 @@ def _static_oracles(scrub_case, type_case, scrub_restored_case) -> dict[str, str
                         ELSE 0.0 END AS top_word_frac
             FROM staged
         """,
-        "bpe_token_totals": r"""
-            SELECT source,
-                   CAST(SUM(len(regexp_extract_all(
-                       text, '[\p{L}\p{N}_]+|[^\p{L}\p{N}_\s]'))) AS BIGINT)
-                       AS total_bpe_tokens
-            FROM documents
-            GROUP BY source
-        """,
     }
 
 
@@ -1727,6 +1725,7 @@ def _fixture_oracles() -> dict[str, str]:
         ("ann_batch", osup.ann_batch_sql),
         ("embedding_near_pairs_lsh", osup.emb_near_pairs_lsh_sql),
         ("exact_substring", osup.exact_substring_sql),
+        ("bpe_token_totals", osup.bpe_token_totals_sql),
         ("pack_sequences", osup.pack_sequences_sql),
         ("dsir_selection", osup.dsir_selection_sql),
     ]:

@@ -37,6 +37,25 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+def bpe_exact_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_bpe_tokens) — tokenizer-EXACT byte-level BPE counts under
+    the frozen vocab (core/bpe.py), one Arrow-batched pandas UDF. This is
+    the count training-export stages must use (pack_sequences boundaries,
+    mixture token budgets); the native regex count in token_counts is the
+    cheap pre-tokenization approximation for monitoring only."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _bpe(s: pd.Series) -> pd.Series:
+        from ..core.bpe import bpe_token_counts_batch
+
+        return pd.Series(bpe_token_counts_batch(s), dtype="int64")
+
+    return df.select(F.col(id_col), _bpe(F.col(text_col)).alias("n_bpe_tokens"))
+
+
 def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Composite quality score in [0,1] from the shared signal expressions.
 

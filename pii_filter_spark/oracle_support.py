@@ -838,15 +838,6 @@ def _spark_trim(t: str) -> str:
     return t.strip(" ")
 
 
-def _split_size_like_spark(t: str) -> int:
-    """Twin of F.size(F.split(F.trim(text), '\\s+')): Java split with
-    limit=-1 keeps interior/trailing empties (none after trim on these
-    corpora); empty input yields [''] — size 1, matching Spark."""
-    import re
-
-    return len(re.split(_JAVA_WS, _spark_trim(t)))
-
-
 def _dsir_tokens(t: str) -> List[str]:
     """Twin of operators.dsir._token_array: lower + whitespace-normalize +
     split + drop empties."""
@@ -875,14 +866,38 @@ def exact_substring_sql(sf_dir: str, span_tokens: int = 20) -> str:
     )
 
 
+def bpe_token_totals_sql(sf_dir: str) -> str:
+    """q_bpe_token_totals expected output: per-source byte-level BPE totals
+    through the SAME frozen tokenizer (core/bpe.py) — exact integers."""
+    from .core.bpe import bpe_token_count
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT source, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    totals: dict = {}
+    for src, t in docs:
+        totals[src] = totals.get(src, 0) + bpe_token_count(t or "")
+    return _values_sql(
+        sorted(totals.items()),
+        ["source", "total_bpe_tokens"],
+        ["VARCHAR", "BIGINT"],
+    )
+
+
 def pack_sequences_sql(sf_dir: str, seq_len: int = 2048) -> str:
     """q_pack_sequences expected output: global exclusive token prefix sum
-    in doc_id order, re-derived with exact Python integers (associative, so
-    Spark's two-phase grouped prefix sum is bit-identical by construction)."""
+    in doc_id order over tokenizer-exact BPE counts (core/bpe.py, the same
+    pure function the pandas UDF calls), re-derived with exact Python
+    integers (associative, so Spark's two-phase grouped prefix sum is
+    bit-identical by construction)."""
+    from .core.bpe import bpe_token_count
+
     docs = _read_docs(sf_dir)  # already ORDER BY doc_id
     rows, running = [], 0
     for d, t in docs:
-        n = _split_size_like_spark(t or "")
+        n = bpe_token_count(t or "")
         rows.append((d, n, running, running // seq_len, running % seq_len))
         running += n
     return _values_sql(
