@@ -803,6 +803,21 @@ def q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clip_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style image-caption alignment filter (CLIP-score shape,
+    Schuhmann et al. 2021 §2.2): one mapInPandas embeds both modalities
+    off the scan (bytes never shuffle), cosine is a JVM-side zip_with/
+    aggregate fold over unit vectors, keep >= 0.28 is codegen. The
+    encoders are the documented deterministic stand-ins behind the
+    injectable model seam; the fixture oracle re-derives rows through
+    the identical pure functions."""
+    from pii_filter_spark.operators.alignment import alignment_filter
+    from pii_filter_spark.sources.synth import build_input_table
+
+    imgs = build_input_table(spark, 300, seed=42, num_partitions=8)
+    return alignment_filter(imgs)
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality scorer (fastText-style hashed-ngram logistic
     classifier, distilled from the heuristic stage) + GPT-3 Pareto keep
@@ -1134,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs": q_embedding_near_pairs,
         "ngram_jaccard": q_ngram_jaccard,
         "span_dedup": q_span_dedup,
+        "clip_alignment": q_clip_alignment,
         "exact_substring": q_exact_substring,
         "pack_sequences": q_pack_sequences,
         "phash_dedup": q_phash_dedup,
@@ -1706,6 +1722,7 @@ def _fixture_oracles() -> dict[str, str]:
         ("dedup_clusters", osup.dedup_clusters_sql),
         ("simhash_near_pairs", osup.simhash_near_pairs_sql),
         ("image_verify", lambda sf: osup.image_verify_sql()),
+        ("clip_alignment", lambda sf: osup.clip_alignment_sql()),
         ("image_features", lambda sf: osup.image_features_sql()),
         ("image_metadata_scrub", lambda sf: osup.image_metadata_sql()),
         ("image_quality_filter", lambda sf: osup.image_quality_sql()),

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..images import decode_image, psnr
 from ..images.codecs import encode_image
+from ..sources.synth import LOSSY_QUALITY
 
 VERIFY_SCHEMA = (
     "image_id string, decode_ok boolean, dims_ok boolean, "
@@ -56,7 +57,9 @@ def verify_images(df: DataFrame, thumb: int = 0) -> DataFrame:
                     ok = True
                     dims = px.shape[0] == rec.h and px.shape[1] == rec.w
                     mean = float(px.mean())
-                    second = decode_image(encode_image(px, rec.fmt, quality=95))
+                    second = decode_image(
+                        encode_image(px, rec.fmt, quality=LOSSY_QUALITY)
+                    )
                     p = psnr(px, second)
                     q = 999.0 if math.isinf(p) else p
                 except (ValueError, NotImplementedError):

@@ -501,6 +501,7 @@ def _synth_rows(n: int, seed: int = 42):
 def image_verify_sql(n: int = 300, seed: int = 42) -> str:
     from .images import decode_image, psnr
     from .images.codecs import encode_image
+    from .sources.synth import LOSSY_QUALITY
 
     rows = []
     for r in _synth_rows(n, seed):
@@ -511,7 +512,9 @@ def image_verify_sql(n: int = 300, seed: int = 42) -> str:
             ok = True
             dims = px.shape[0] == r["h"] and px.shape[1] == r["w"]
             mean = float(px.mean())
-            second = decode_image(encode_image(px, r["fmt"], quality=95))
+            second = decode_image(
+                encode_image(px, r["fmt"], quality=LOSSY_QUALITY)
+            )
             p = psnr(px, second)
             q = 999.0 if math.isinf(p) else p
         except (ValueError, NotImplementedError):
@@ -547,6 +550,25 @@ def image_features_sql(n: int = 200, seed: int = 42) -> str:
     return _values_sql(
         rows, ["image_id", "mean_r", "mean_g", "std_gray"],
         ["VARCHAR", "DOUBLE", "DOUBLE", "DOUBLE"],
+    )
+
+
+def clip_alignment_sql(n: int = 300, seed: int = 42) -> str:
+    """q_clip_alignment expected output via operators.alignment's
+    pure-Python row twin (same decode, same stand-in encoders, same
+    left-to-right fold dot, same HALF_UP rounding)."""
+    from .operators.alignment import alignment_row
+
+    rows = []
+    for r in _synth_rows(n, seed):
+        image_id, sim, keep = alignment_row(r)
+        rows.append(
+            (image_id, None if sim is None else _round_like_spark(sim), keep)
+        )
+    return _values_sql(
+        rows,
+        ["image_id", "clip_sim", "keep"],
+        ["VARCHAR", "DOUBLE", "BOOLEAN"],
     )
 
 

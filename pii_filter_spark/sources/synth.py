@@ -30,7 +30,8 @@ SCHEMA_DDL = (
     "caption string, phash long"
 )
 
-LOSSY_QUALITY = 95  # keeps round-trip PSNR >= 40 dB (see images/)
+LOSSY_QUALITY = 97  # real baseline JPEG: vs-original PSNR >= 40 dB and
+# re-encode PSNR >= 53 dB on the synthetic gradients (see images/jpeg_codec)
 
 _FIRST = [
     "Ana", "Bruno", "Carla", "Carlos", "Daniela", "Eduardo", "Fernanda",
