@@ -202,56 +202,112 @@ def _blocks(chan: np.ndarray) -> np.ndarray:
     )
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
-    """RGB uint8 (h, w, 3) -> baseline JFIF 4:4:4 single-scan JPEG."""
+def _encode_block(
+    bw: "_BitWriter", zz: np.ndarray, prev_dc: int, t: int
+) -> int:
+    """Huffman-encode one zigzagged quantized block; returns its DC."""
+    dc_codes, ac_codes = _ENC_DC[t], _ENC_AC[t]
+    dc = int(zz[0])
+    size, bits = _magnitude(dc - prev_dc)
+    code, ln = dc_codes[size]
+    bw.write(code, ln)
+    if size:
+        bw.write(bits, size)
+    nz = np.nonzero(zz[1:])[0]
+    run_from = 0
+    for idx in nz:
+        run = int(idx) - run_from
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        size, bits = _magnitude(int(zz[1 + idx]))
+        code, ln = ac_codes[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(bits, size)
+        run_from = int(idx) + 1
+    if run_from < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def _quant_zz_grid(
+    chan: np.ndarray, qtbl: np.ndarray
+) -> Tuple[np.ndarray, int]:
+    """Channel -> zigzagged quantized blocks in raster order + blocks/row."""
+    blocks = _blocks(chan)
+    coef = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
+    qt = qtbl.reshape(8, 8).astype(np.float64)
+    quant = np.round(coef / qt).astype(np.int32)
+    bw_blocks = (chan.shape[1] + 7) // 8
+    return quant.reshape(-1, 64)[:, ZIGZAG], bw_blocks
+
+
+def _down2(chan: np.ndarray) -> np.ndarray:
+    """2x2 mean downsample with edge replication to even dims."""
+    h, w = chan.shape
+    if h % 2 or w % 2:
+        chan = np.pad(chan, ((0, h % 2), (0, w % 2)), mode="edge")
+    return (
+        chan.reshape(chan.shape[0] // 2, 2, chan.shape[1] // 2, 2)
+        .mean(axis=(1, 3))
+    )
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 90, subsampling: str = "444"
+) -> bytes:
+    """RGB uint8 (h, w, 3) -> baseline JFIF single-scan JPEG.
+
+    subsampling: "444" (default, best PSNR) or "420" (2x2 chroma
+    downsample, the common web-crawl shape — exercises the decoder's
+    general Hi/Vi path)."""
     if pixels.ndim != 3 or pixels.shape[2] != 3:
         raise ValueError("expected (h, w, 3) RGB")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub = subsampling == "420"
     h, w = pixels.shape[:2]
     qlum = _scaled_quant(QUANT_LUM, quality)
     qchrom = _scaled_quant(QUANT_CHROM, quality)
     ycc = _rgb_to_ycbcr(pixels) - 128.0
 
-    comp_zz: List[np.ndarray] = []
-    for ci in range(3):
-        blocks = _blocks(ycc[..., ci])
-        coef = np.einsum("ij,njk,lk->nil", _DCT, blocks, _DCT)
-        qt = (qlum if ci == 0 else qchrom).reshape(8, 8).astype(np.float64)
-        quant = np.round(coef / qt).astype(np.int32)
-        comp_zz.append(quant.reshape(-1, 64)[:, ZIGZAG])
+    ych = ycc[..., 0]
+    if sub:
+        # pad Y to 16-multiples so the MCU grid covers it exactly
+        ph, pw = (-h) % 16, (-w) % 16
+        if ph or pw:
+            ych = np.pad(ych, ((0, ph), (0, pw)), mode="edge")
+        chroma = [_down2(ycc[..., 1]), _down2(ycc[..., 2])]
+        mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+    else:
+        chroma = [ycc[..., 1], ycc[..., 2]]
+        mcux, mcuy = (w + 7) // 8, (h + 7) // 8
+
+    yzz, ybw = _quant_zz_grid(ych, qlum)
+    cbzz, cbw = _quant_zz_grid(chroma[0], qchrom)
+    crzz, _ = _quant_zz_grid(chroma[1], qchrom)
 
     bw = _BitWriter()
-    n_blocks = comp_zz[0].shape[0]
     prev_dc = [0, 0, 0]
-    for bi in range(n_blocks):
-        for ci in range(3):
-            t = 0 if ci == 0 else 1
-            dc_codes, ac_codes = _ENC_DC[t], _ENC_AC[t]
-            zz = comp_zz[ci][bi]
-            dc = int(zz[0])
-            size, bits = _magnitude(dc - prev_dc[ci])
-            prev_dc[ci] = dc
-            code, ln = dc_codes[size]
-            bw.write(code, ln)
-            if size:
-                bw.write(bits, size)
-            nz = np.nonzero(zz[1:])[0]
-            run_from = 0
-            for idx in nz:
-                run = int(idx) - run_from
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                size, bits = _magnitude(int(zz[1 + idx]))
-                code, ln = ac_codes[(run << 4) | size]
-                bw.write(code, ln)
-                bw.write(bits, size)
-                run_from = int(idx) + 1
-            if run_from < 63:
-                code, ln = ac_codes[0x00]  # EOB
-                bw.write(code, ln)
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        if sub:
+            for by in range(2):
+                for bx in range(2):
+                    bi = (my * 2 + by) * ybw + (mx * 2 + bx)
+                    prev_dc[0] = _encode_block(bw, yzz[bi], prev_dc[0], 0)
+        else:
+            prev_dc[0] = _encode_block(
+                bw, yzz[my * ybw + mx], prev_dc[0], 0
+            )
+        ci = my * cbw + mx
+        prev_dc[1] = _encode_block(bw, cbzz[ci], prev_dc[1], 1)
+        prev_dc[2] = _encode_block(bw, crzz[ci], prev_dc[2], 1)
     bw.flush()
 
+    samp_y = 0x22 if sub else 0x11
     out = bytearray()
     out += b"\xff\xd8"  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" \
@@ -260,8 +316,8 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90) -> bytes:
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
         out += bytes(int(v) for v in tbl[ZIGZAG])
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
-    for cid, tq in ((1, 0), (2, 1), (3, 1)):
-        out += struct.pack("BBB", cid, 0x11, tq)  # 4:4:4
+    for cid, hv, tq in ((1, samp_y, 0), (2, 0x11, 1), (3, 0x11, 1)):
+        out += struct.pack("BBB", cid, hv, tq)
     for tc_th, bits, vals in (
         (0x00, DC_LUM_BITS, DC_LUM_VALS),
         (0x10, AC_LUM_BITS, AC_LUM_VALS),

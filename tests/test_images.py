@@ -55,20 +55,25 @@ def test_jpeg_bytes_are_real_jfif():
     assert (h, w, data[sof + 9]) == (32, 40, 3)
 
 
-def test_jpeg_decoder_handles_subsampled_input():
-    """The decoder is a general baseline decoder: feed it a 4:2:0 stream
-    (hand-built via the encoder's tables would be 4:4:4, so synthesize by
-    re-tagging is not possible — instead decode a grayscale single
-    component stream, the other sampling shape we can produce)."""
-    from pii_filter_spark.images import jpeg_codec as jc
+def test_jpeg_decoder_handles_420_subsampled_input():
+    """The decoder is a general baseline decoder: real 4:2:0 streams
+    (the common web-crawl shape, Hi/Vi = 2x2 luma / 1x1 chroma) must
+    decode at full dims with sane fidelity — including non-multiple-of-16
+    sizes that exercise the MCU edge padding."""
+    from pii_filter_spark.images.jpeg_codec import decode_jpeg, encode_jpeg
+    from pii_filter_spark.images.codecs import psnr as _psnr
 
-    # grayscale: reuse encoder pieces on one component via a 3-channel
-    # gray image; decoded output must be near-gray everywhere
-    g = np.repeat(_img(5, 32, 32).mean(axis=2, keepdims=True), 3, axis=2)
-    g = g.astype(np.uint8)
-    out = decode_image(encode_image(g, "jpeg", quality=LOSSY_QUALITY))
-    spread = out.astype(int).max(axis=2) - out.astype(int).min(axis=2)
-    assert spread.mean() < 6  # chroma stays ~neutral through the codec
+    for seed, (w, h) in enumerate([(32, 32), (17, 23), (64, 41)]):
+        img = _img(seed, w, h)
+        data = encode_jpeg(img, quality=95, subsampling="420")
+        sof = data.find(b"\xff\xc0")
+        assert data[sof + 11] == 0x22  # Y sampling really is 2x2
+        out = decode_jpeg(data)
+        assert out.shape == (h, w, 3)
+        assert _psnr(img, out) >= 30.0
+
+    with pytest.raises(ValueError):
+        encode_jpeg(_img(0, 8, 8), subsampling="422")
 
 
 def test_jpeg_reencode_psnr_headroom():
