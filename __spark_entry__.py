@@ -797,7 +797,9 @@ def q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_substring_dedup,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # single-file test scans arrive as ONE split; spread the in-row
+    # hashing across cores the way a many-split corpus scan would be
+    docs = _par(spark, _docs(spark, sf_dir)).select("doc_id", "text")
     return exact_substring_dedup(
         docs, span_tokens=20, id_col="doc_id", text_col="text"
     )

@@ -91,9 +91,15 @@ def exact_substring_dedup(
     ).otherwise(F.array().cast("array<string>"))
     hashed = toks.select("_id", "toks", span_hashes.alias("hs"))
 
+    # posexplode_outer, NOT posexplode: the plain variant makes Catalyst
+    # insert a size(hs)>0 pre-filter below the Generate, which re-runs
+    # the md5 span-hash transform once for the filter and once per
+    # emitted row (the round-1 explode-over-expression trap, same guard
+    # as dedup.py). The outer null row (docs shorter than span) is
+    # dropped ABOVE the Generate, where hs is already materialized.
     spans = hashed.select(
-        "_id", F.posexplode("hs").alias("start_idx", "span_hash")
-    )
+        "_id", F.posexplode_outer("hs").alias("start_idx", "span_hash")
+    ).where(F.col("span_hash").isNotNull())
     w_global = Window.partitionBy("span_hash").orderBy("_id", "start_idx")
     rm = (
         spans.withColumn("rn", F.row_number().over(w_global))
@@ -102,7 +108,10 @@ def exact_substring_dedup(
         .agg(F.collect_list("start_idx").alias("rm_starts"))
     )
 
-    joined = hashed.join(rm, "_id", "left")
+    # join removals back onto the CHEAP toks frame, not `hashed` — the
+    # md5 span-hash projection is the expensive part and must be
+    # evaluated once (in the explode branch), not re-run per join probe
+    joined = toks.join(rm, "_id", "left")
     starts = F.coalesce(F.col("rm_starts"), F.array().cast("array<int>"))
     kept = F.filter(
         F.transform(
