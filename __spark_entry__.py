@@ -820,6 +820,63 @@ def q_clip_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alignment_filter(imgs)
 
 
+def q_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb/C4 line-wise cleaning (Penedo et al. 2023 §3.1.3):
+    deterministic junk lines (social counters, numeric-only, all-caps
+    nav, dangling fragments) injected per doc_id residue, removed by a
+    single codegen projection (split -> transform keep-exprs ->
+    aggregate char accounting -> array_join); docs with > 5% junk chars
+    are dropped. Fixture oracle = the operator's pure-Python twin over
+    identically synthesized input."""
+    from pii_filter_spark.operators.line_clean import line_clean
+
+    d = F.col("doc_id")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.lit("\n1234 likes")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("\nHOME ABOUT CONTACT US")).otherwise(
+            F.lit("")
+        ),
+        F.when(d % 7 == 0, F.lit("\n42 17, 99%")).otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit("\nleia mais")).otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", text2.alias("text"))
+    return line_clean(docs)
+
+
+def q_pixel_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT near-dup for images: pHash computed FROM decoded pixels
+    (area-mean 32x32 gray -> 2D DCT -> 8x8 low band vs median,
+    images/phash.py) over the synthetic table UNION lossy q90 re-encodes
+    of every 4th image, then the banded hamming operator at
+    max_hamming=16 with 8x8-bit chunks (pigeonhole-exact recall <= 7;
+    the chunks dial trades bucket granularity for recall radius —
+    right here because pHash re-encode drift is wider than simhash
+    edit drift). Synthetic gradient+noise images are a WORST CASE for
+    pHash (the AC band is mostly noise): re-encodes land ~4-12 bits away
+    vs >= ~24 for unrelated images — still cleanly separable, and the
+    fixture oracle re-derives both the hashes AND the chunk-bucket
+    pairing, so the gate is exact regardless of banding recall."""
+    from pii_filter_spark.operators.dedup import phash_near_pairs
+    from pii_filter_spark.operators.image_stage import (
+        compute_phash,
+        reencode_variants,
+    )
+    from pii_filter_spark.sources.synth import build_input_table
+
+    imgs = build_input_table(spark, 120, seed=42, num_partitions=8).select(
+        "image_id", "bytes"
+    )
+    idx = F.substring("image_id", 5, 8).cast("int")
+    variants = reencode_variants(imgs.where(idx % 4 == 0), quality=90)
+    hashes = compute_phash(imgs.unionByName(variants)).where(
+        F.col("pixel_phash").isNotNull()
+    )
+    return phash_near_pairs(
+        hashes, phash_col="pixel_phash", max_hamming=16, chunks=8
+    )
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality scorer (fastText-style hashed-ngram logistic
     classifier, distilled from the heuristic stage) + GPT-3 Pareto keep
@@ -1132,6 +1189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_documents": q_langid_documents,
         "simhash": q_simhash,
         "doc_word_stats": q_doc_word_stats,
+        "line_clean": q_line_clean,
         "image_quality_filter": q_image_quality_filter,
         "ann_ivf": q_ann_ivf,
         "image_metadata_scrub": q_image_metadata_scrub,
@@ -1168,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_type_counts": q_pii_type_counts,
         "pii_scrub_captions": q_pii_scrub_captions,
         "phash_near_pairs": q_phash_near_pairs,
+        "pixel_phash_pairs": q_pixel_phash_pairs,
         "contamination": q_contamination,
         "quality_classifier": q_quality_classifier,
         "restore_label_cleanup": q_restore_label_cleanup,
@@ -1733,6 +1792,7 @@ def _fixture_oracles() -> dict[str, str]:
         ("audio_features", lambda sf: osup.audio_features_sql()),
         ("phash_dedup", lambda sf: osup.phash_dedup_sql()),
         ("phash_near_pairs", lambda sf: osup.phash_near_pairs_sql()),
+        ("pixel_phash_pairs", lambda sf: osup.pixel_phash_pairs_sql()),
         ("quality_classifier", osup.quality_classifier_sql),
         ("source_mixture", osup.source_mixture_sql),
         ("semdedup", osup.semdedup_sql),
@@ -1745,6 +1805,7 @@ def _fixture_oracles() -> dict[str, str]:
         ("embedding_near_pairs_lsh", osup.emb_near_pairs_lsh_sql),
         ("exact_substring", osup.exact_substring_sql),
         ("bpe_token_totals", osup.bpe_token_totals_sql),
+        ("line_clean", osup.line_clean_sql),
         ("pack_sequences", osup.pack_sequences_sql),
         ("dsir_selection", osup.dsir_selection_sql),
     ]:

@@ -478,25 +478,38 @@ def hamming_near_pairs(
     id_col: str,
     max_hamming: int = 3,
     max_bucket_size: int = DEFAULT_MAX_BUCKET,
+    chunks: int = 4,
 ) -> DataFrame:
     """Near-dup pairs among 64-bit hashes by hamming distance.
 
-    Bands the 64 bits into 4x16-bit chunks — any pair within hamming<=3
-    must agree on >=1 whole chunk (pigeonhole), so recall is exact up to
-    3 and probabilistic above; bucket by chunk value, in-array pair
-    expansion with first-colliding-chunk emission (hash column evaluated
-    once, no self-join, no distinct shuffle), exact verify via
-    bit_count(xor). Works for any 64-bit locality hash: text simhash
-    (simhash_near_pairs) and image perceptual hash (the north rule's
-    phash column) share this one operator. Oversized buckets take the
-    linear star reroute — see _bucket_pair_expansion."""
+    Bands the 64 bits into `chunks` equal chunks — any pair within
+    hamming <= chunks-1 must agree on >=1 whole chunk (pigeonhole), so
+    recall is exact up to chunks-1 and probabilistic above; bucket by
+    chunk value, in-array pair expansion with first-colliding-chunk
+    emission (hash column evaluated once, no self-join, no distinct
+    shuffle), exact verify via bit_count(xor). Works for any 64-bit
+    locality hash: text simhash (simhash_near_pairs) and image
+    perceptual hash (the north rule's phash column) share this one
+    operator. Oversized buckets take the linear star reroute — see
+    _bucket_pair_expansion.
+
+    chunks is the recall/coarseness dial: 4 (16-bit chunks, default) has
+    2^16 buckets per band — right for corpus scale; 8 (8-bit chunks)
+    widens exact recall to hamming<=7 but leaves only 256 buckets per
+    band, so use it only when rows-per-band/256 stays under
+    max_bucket_size (pHash drift from lossy re-encodes is wider than
+    simhash drift from small edits — see q_pixel_phash_pairs)."""
+    if 64 % chunks != 0:
+        raise ValueError("chunks must divide 64")
+    width = 64 // chunks
+    mask = (1 << width) - 1
     keyed = df.select(
         F.col(id_col),
         F.col(hash_col).alias("_h"),
         F.array(
             *[
-                F.shiftright(hash_col, 16 * i).bitwiseAND(F.lit(0xFFFF))
-                for i in range(4)
+                F.shiftright(hash_col, width * i).bitwiseAND(F.lit(mask))
+                for i in range(chunks)
             ]
         ).alias("keys"),
     )
@@ -598,13 +611,14 @@ def phash_near_pairs(
     id_col: str = "image_id",
     max_hamming: int = 3,
     max_bucket_size: int = DEFAULT_MAX_BUCKET,
+    chunks: int = 4,
 ) -> DataFrame:
     """Near-duplicate IMAGE pairs by perceptual-hash hamming distance —
     the north rule's image-dedup discovery step (exact-phash dedup is
     dedup_by_key; this catches re-encodes/resizes whose phash differs in
     a few bits). Same banded operator as text simhash."""
     return hamming_near_pairs(df, phash_col, id_col, max_hamming,
-                              max_bucket_size)
+                              max_bucket_size, chunks)
 
 
 # --------------------------------------------------------------------------

@@ -180,3 +180,57 @@ def sample_video_frames(
     return df.select("image_id", "bytes", "w", "h").mapInPandas(
         _sample, schema=FRAME_SCHEMA
     )
+
+
+def compute_phash(
+    df: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """(id, pixel_phash) — DCT pHash computed FROM decoded pixel content
+    (images/phash.py), one mapInPandas pass; the MB-scale bytes column
+    never shuffles. Decode failures yield NULL. Feeding these hashes to
+    dedup.hamming_near_pairs turns phash near-dup into CONTENT near-dup
+    (robust to re-encodes — see q_pixel_phash_pairs)."""
+    from ..images.phash import phash64
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                try:
+                    ph = phash64(decode_image(bytes(getattr(rec, bytes_col))))
+                except (ValueError, NotImplementedError):
+                    ph = None
+                rows.append((getattr(rec, id_col), ph))
+            yield pd.DataFrame(rows, columns=[id_col, "pixel_phash"])
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        _hash, schema=f"{id_col} string, pixel_phash long"
+    )
+
+
+def reencode_variants(
+    df: DataFrame,
+    quality: int,
+    id_suffix: str = "_re",
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Lossy re-encodes of each image (decode -> jpeg at `quality`) with
+    suffixed ids — the deterministic stand-in for the re-crawled /
+    re-hosted copies a web corpus contains."""
+
+    def _re(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples():
+                try:
+                    px = decode_image(bytes(getattr(rec, bytes_col)))
+                    data = encode_image(px, "jpeg", quality=quality)
+                    rows.append((getattr(rec, id_col) + id_suffix, data))
+                except (ValueError, NotImplementedError):
+                    continue
+            yield pd.DataFrame(rows, columns=[id_col, bytes_col])
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        _re, schema=f"{id_col} string, {bytes_col} binary"
+    )

@@ -701,6 +701,50 @@ def phash_near_pairs_sql(n: int = 400, seed: int = 42,
                        ["VARCHAR", "VARCHAR", "INT"])
 
 
+def pixel_phash_pairs_sql(
+    n: int = 120,
+    seed: int = 42,
+    quality: int = 90,
+    max_hamming: int = 16,
+) -> str:
+    """q_pixel_phash_pairs expected pairs: pHash from decoded pixels of
+    the synth rows ∪ q90 re-encodes of idx%4==0, then the SAME 4x16-bit
+    chunk-bucket pairing the banded operator performs."""
+    from .images import decode_image
+    from .images.codecs import encode_image
+    from .images.phash import phash64
+
+    mask64 = (1 << 64) - 1
+    rows = []
+    for i, r in enumerate(_synth_rows(n, seed)):
+        px = decode_image(bytes(r["bytes"]))
+        rows.append((r["image_id"], phash64(px)))
+        if i % 4 == 0:
+            vpx = decode_image(encode_image(px, "jpeg", quality=quality))
+            rows.append((r["image_id"] + "_re", phash64(vpx)))
+    buckets: dict = {}
+    for rid, ph in rows:
+        for c in range(8):  # 8x8-bit chunks, mirroring chunks=8
+            buckets.setdefault((c, (ph >> (8 * c)) & 0xFF), []).append(
+                (rid, ph)
+            )
+    pairs: dict = {}
+    for members in buckets.values():
+        assert len(members) <= 2048, "fixture bucket exceeds LSH cap"
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                (xa, pa), (xb, pb) = members[i], members[j]
+                ia, ib = (xa, xb) if xa < xb else (xb, xa)
+                if (ia, ib) in pairs:
+                    continue
+                ham = bin((pa ^ pb) & mask64).count("1")
+                if ham <= max_hamming:
+                    pairs[(ia, ib)] = ham
+    out = [(a, b, h) for (a, b), h in sorted(pairs.items())]
+    return _values_sql(out, ["id_a", "id_b", "hamming"],
+                       ["VARCHAR", "VARCHAR", "INT"])
+
+
 def phash_dedup_sql(n: int = 400, seed: int = 42) -> str:
     winners: dict = {}
     for r in _synth_rows(n, seed):
@@ -885,6 +929,35 @@ def exact_substring_sql(sf_dir: str, span_tokens: int = 20) -> str:
         rows,
         ["doc_id", "n_tokens", "n_removed", "text_dedup"],
         ["BIGINT", "INTEGER", "INTEGER", "VARCHAR"],
+    )
+
+
+def line_clean_sql(sf_dir: str) -> str:
+    """q_line_clean expected output: same injected junk lines, same
+    pure-Python line rules (operators/line_clean twin)."""
+    from .operators.line_clean import line_clean_rows
+
+    docs = []
+    for d, t in _read_docs(sf_dir):
+        t2 = t or ""
+        if d % 3 == 0:
+            t2 += "\n1234 likes"
+        if d % 5 == 0:
+            t2 += "\nHOME ABOUT CONTACT US"
+        if d % 7 == 0:
+            t2 += "\n42 17, 99%"
+        if d % 11 == 0:
+            t2 += "\nleia mais"
+        docs.append((d, t2))
+    rows = [
+        (d, nl, nr, _round_like_spark(frac), keep, clean)
+        for d, nl, nr, frac, keep, clean in line_clean_rows(docs)
+    ]
+    return _values_sql(
+        rows,
+        ["doc_id", "n_lines", "n_removed", "removed_frac", "doc_keep",
+         "text_clean"],
+        ["BIGINT", "INTEGER", "INTEGER", "DOUBLE", "BOOLEAN", "VARCHAR"],
     )
 
 
