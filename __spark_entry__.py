@@ -548,10 +548,28 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic features over REAL RIFF/WAVE PCM bytes (audio/wav.py):
+    deterministic two-tone test signals encoded to 16-bit WAV on the
+    executors, decoded by the real codec in the feature stage. The
+    fixture oracle re-derives every row through the same synth/encode/
+    decode/feature functions."""
     from pii_filter_spark.operators.audio_stage import audio_features
-    from pii_filter_spark.sources.synth import build_input_table
 
-    auds = build_input_table(spark, 150, seed=42, num_partitions=8)
+    def _gen(batches):
+        import pandas as pd
+
+        from pii_filter_spark.audio.wav import encode_wav, synth_tone
+
+        for pdf in batches:
+            rows = [
+                (f"aud_{int(i):06d}", encode_wav(synth_tone(int(i))))
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    auds = spark.range(0, 150, numPartitions=8).mapInPandas(
+        _gen, schema="image_id string, bytes binary"
+    )
     return audio_features(auds).select(
         "audio_id", "sample_rate", "n_samples",
         F.round("rms", 4).alias("rms"),

@@ -1,11 +1,12 @@
 """Audio-column operators: opaque `bytes` + typed metadata, like images.
 
-No audio codec ships in this container, so decode is a deterministic
-stub (same contract as image_stage._fake_video_decoder): a production
+The default decoder handles REAL RIFF/WAVE PCM (audio/wav.py — 8/16-bit,
+any channel count, mono downmix); bytes without the RIFF magic fall back
+to the deterministic stub so legacy fixtures keep decoding. A production
 deployment injects a soundfile/ffmpeg-backed decoder
-`(bytes) -> (sample_rate, float32 mono ndarray)`. Everything Spark-side
-— mapInPandas batching, column pruning, output schema — is real and
-tested.
+`(bytes) -> (sample_rate, float32 mono ndarray)` for compressed
+containers. Everything Spark-side — mapInPandas batching, column
+pruning, output schema — is real and tested.
 """
 
 from __future__ import annotations
@@ -21,6 +22,15 @@ AUDIO_FEATURE_SCHEMA = (
     "audio_id string, sample_rate int, n_samples long, duration_s double, "
     "rms double, zero_crossing_rate double, peak double"
 )
+
+
+def _default_audio_decoder(data: bytes):
+    """Real WAV when the container says so; deterministic stub otherwise."""
+    if data[:4] == b"RIFF":
+        from ..audio.wav import decode_wav
+
+        return decode_wav(data)
+    return _fake_audio_decoder(data)
 
 
 def _fake_audio_decoder(data: bytes):
@@ -40,7 +50,7 @@ def audio_features(
     decoder=None,
 ) -> DataFrame:
     """Per-row acoustic features: duration, RMS, zero-crossing rate, peak."""
-    decode = decoder or _fake_audio_decoder
+    decode = decoder or _default_audio_decoder
 
     def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -647,16 +647,16 @@ def video_frame_sample_sql(n: int = 100, seed: int = 42,
 
 
 def audio_features_sql(n: int = 150, seed: int = 42) -> str:
-    from .operators.audio_stage import _fake_audio_decoder
+    from .audio.wav import decode_wav, encode_wav, synth_tone
 
     rows = []
-    for r in _synth_rows(n, seed):
-        sr, pcm = _fake_audio_decoder(bytes(r["bytes"]))
+    for i in range(n):
+        sr, pcm = decode_wav(encode_wav(synth_tone(i)))
         ns = len(pcm)
         zc = float(np.mean(np.abs(np.diff(np.signbit(pcm))))) if ns > 1 else 0.0
         rms = float(np.sqrt(np.mean(pcm ** 2))) if ns else 0.0
         rows.append((
-            r["image_id"], sr, ns,
+            f"aud_{i:06d}", sr, ns,
             _round_like_spark(rms), _round_like_spark(zc),
         ))
     return _values_sql(
