@@ -536,11 +536,32 @@ def q_image_metadata_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fan-out frame sampling (decode = deterministic sandbox stub)."""
+    """Fan-out frame sampling over REAL MJPEG AVI bytes (video/avi.py,
+    frames encoded by the real baseline JPEG codec): deterministic
+    drifting-gradient clips built on the executors, every-2nd-frame
+    sample, one mapInPandas fan-out. The fixture oracle re-derives every
+    row through the same synth/encode/decode chain."""
     from pii_filter_spark.operators.image_stage import sample_video_frames
-    from pii_filter_spark.sources.synth import build_input_table
 
-    vids = build_input_table(spark, 100, seed=42, num_partitions=8)
+    def _gen(batches):
+        import pandas as pd
+
+        from pii_filter_spark.video.avi import encode_avi_mjpeg, synth_clip
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                frames = synth_clip(int(i))
+                h, w = frames[0].shape[:2]
+                rows.append(
+                    (f"vid_{int(i):06d}",
+                     encode_avi_mjpeg(frames, fps=10, quality=90), w, h)
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h"])
+
+    vids = spark.range(0, 100, numPartitions=8).mapInPandas(
+        _gen, schema="image_id string, bytes binary, w int, h int"
+    )
     return sample_video_frames(vids, every_n=2).select(
         "video_id", "frame_idx", "frame_w", "frame_h",
         F.round("frame_gray_mean", 2).alias("frame_gray_mean"),

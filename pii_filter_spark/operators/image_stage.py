@@ -119,6 +119,17 @@ FRAME_SCHEMA = (
 )
 
 
+def _default_video_decoder(data: bytes, w: int, h: int):
+    """Real MJPEG AVI when the container says so (video/avi.py); the
+    deterministic stub otherwise (legacy fixtures / opaque bytes)."""
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        from ..video.avi import decode_avi_mjpeg
+
+        _, frames = decode_avi_mjpeg(data)
+        return enumerate(frames)
+    return _fake_video_decoder(data, w, h)
+
+
 def _fake_video_decoder(data: bytes, w: int, h: int):
     """SANDBOX decode stub (no video codec in this container): yields a
     deterministic pseudo-frame sequence derived from the byte content —
@@ -142,11 +153,12 @@ def sample_video_frames(
 
     The Spark plumbing is real — mapInPandas fan-out (one input row →
     many frame rows), Arrow-batched, column-pruned to (image_id, bytes,
-    w, h) — only the codec itself is a sandbox stub (see
-    _fake_video_decoder). Frames are re-encoded as PNG bytes so the
-    output column is storable/chainable into image operators.
+    w, h) — and the codec is REAL for MJPEG AVI input (video/avi.py);
+    other bytes hit the documented injectable stub. Frames are
+    re-encoded as PNG bytes so the output column is storable/chainable
+    into image operators.
     """
-    decode = decoder or _fake_video_decoder
+    decode = decoder or _default_video_decoder
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -628,15 +628,17 @@ def export_prep_sql(n: int = 400, seed: int = 42, num_shards: int = 8) -> str:
 
 def video_frame_sample_sql(n: int = 100, seed: int = 42,
                            every_n: int = 2) -> str:
-    from .operators.image_stage import _fake_video_decoder
+    from .video.avi import decode_avi_mjpeg, encode_avi_mjpeg, synth_clip
 
     rows = []
-    for r in _synth_rows(n, seed):
-        for idx, px in _fake_video_decoder(bytes(r["bytes"]), r["w"], r["h"]):
+    for i in range(n):
+        clip = encode_avi_mjpeg(synth_clip(i), fps=10, quality=90)
+        _, frames = decode_avi_mjpeg(clip)
+        for idx, px in enumerate(frames):
             if idx % every_n:
                 continue
             rows.append((
-                r["image_id"], idx, px.shape[1], px.shape[0],
+                f"vid_{i:06d}", idx, px.shape[1], px.shape[0],
                 _round_like_spark(float(px.mean()), 2),
             ))
     return _values_sql(
