@@ -852,11 +852,14 @@ def q_clip_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoders are the documented deterministic stand-ins behind the
     injectable model seam; the fixture oracle re-derives rows through
     the identical pure functions."""
-    from pii_filter_spark.operators.alignment import alignment_filter
+    from pii_filter_spark.operators.alignment import (
+        STUB_THRESHOLD,
+        alignment_filter,
+    )
     from pii_filter_spark.sources.synth import build_input_table
 
     imgs = build_input_table(spark, 300, seed=42, num_partitions=8)
-    return alignment_filter(imgs)
+    return alignment_filter(imgs, threshold=STUB_THRESHOLD)
 
 
 def q_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -913,6 +916,31 @@ def q_pixel_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return phash_near_pairs(
         hashes, phash_col="pixel_phash", max_hamming=16, chunks=8
+    )
+
+
+def q_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style image-side curation composite over the synthetic
+    table ∪ exact byte-copies of every 6th image (id-prefixed 'zz_' so
+    the original is the min-id survivor): metadata quality rules (pure
+    Catalyst) AND CLIP-shape alignment AND pixel-pHash exact dedup —
+    gates 2+3 share ONE decode pass (operators/multimodal_curation).
+    The fixture oracle composes the same pure twins per row plus a
+    dict-based min-id survivor."""
+    from pii_filter_spark.operators.multimodal_curation import (
+        multimodal_curation,
+    )
+    from pii_filter_spark.sources.synth import build_input_table
+
+    imgs = build_input_table(spark, 400, seed=42, num_partitions=8)
+    idx = F.substring("image_id", 5, 8).cast("int")
+    copies = imgs.where(idx % 6 == 0).withColumn(
+        "image_id", F.concat(F.lit("zz_"), F.col("image_id"))
+    )
+    from pii_filter_spark.operators.alignment import STUB_THRESHOLD
+
+    return multimodal_curation(
+        imgs.unionByName(copies), align_threshold=STUB_THRESHOLD
     )
 
 
@@ -1256,6 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_bigrams": q_top_bigrams,
         "sensitive_scrub": q_sensitive_scrub,
         "curation_pipeline": q_curation_pipeline,
+        "multimodal_curation": q_multimodal_curation,
         "quality_full": q_quality_full,
         "lsh_bucket_stats": q_lsh_bucket_stats,
         "events_json_roundtrip": q_events_json_roundtrip,
@@ -1832,6 +1861,7 @@ def _fixture_oracles() -> dict[str, str]:
         ("phash_dedup", lambda sf: osup.phash_dedup_sql()),
         ("phash_near_pairs", lambda sf: osup.phash_near_pairs_sql()),
         ("pixel_phash_pairs", lambda sf: osup.pixel_phash_pairs_sql()),
+        ("multimodal_curation", lambda sf: osup.multimodal_curation_sql()),
         ("quality_classifier", osup.quality_classifier_sql),
         ("source_mixture", osup.source_mixture_sql),
         ("semdedup", osup.semdedup_sql),

@@ -37,7 +37,14 @@ from pyspark.sql import functions as F
 
 DIM = 64
 _PROJ_SEED = 23
-DEFAULT_THRESHOLD = 0.28  # LAION EN threshold (Schuhmann et al. 2021)
+DEFAULT_THRESHOLD = 0.28  # LAION EN threshold (Schuhmann et al. 2021) —
+# the value to run with a REAL CLIP encoder injected at the model seam.
+# The deterministic stand-in encoders are uncorrelated across modalities
+# (their cosine is ~N(0, DIM^-1/2)), so queries exercising the stub use
+# STUB_THRESHOLD, calibrated to that distribution's upper third — the
+# gate mechanics (fold cosine, codegen keep, loss accounting) are what
+# the stub exercises, not CLIP's semantics.
+STUB_THRESHOLD = 0.05
 
 _EMB_SCHEMA = (
     "image_id string, img_emb array<double>, txt_emb array<double>"

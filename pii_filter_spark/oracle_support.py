@@ -557,11 +557,11 @@ def clip_alignment_sql(n: int = 300, seed: int = 42) -> str:
     """q_clip_alignment expected output via operators.alignment's
     pure-Python row twin (same decode, same stand-in encoders, same
     left-to-right fold dot, same HALF_UP rounding)."""
-    from .operators.alignment import alignment_row
+    from .operators.alignment import STUB_THRESHOLD, alignment_row
 
     rows = []
     for r in _synth_rows(n, seed):
-        image_id, sim, keep = alignment_row(r)
+        image_id, sim, keep = alignment_row(r, threshold=STUB_THRESHOLD)
         rows.append(
             (image_id, None if sim is None else _round_like_spark(sim), keep)
         )
@@ -745,6 +745,68 @@ def pixel_phash_pairs_sql(
     out = [(a, b, h) for (a, b), h in sorted(pairs.items())]
     return _values_sql(out, ["id_a", "id_b", "hamming"],
                        ["VARCHAR", "VARCHAR", "INT"])
+
+
+def multimodal_curation_sql(n: int = 400, seed: int = 42) -> str:
+    """q_multimodal_curation expected output: per-row composition of the
+    SAME pure twins (image_quality_row keep, alignment fold-dot, pHash)
+    plus a dict min-id survivor over synth rows ∪ 'zz_'-prefixed exact
+    copies of idx%6==0."""
+    from .images import decode_image
+    from .images.phash import phash64
+    from .operators.alignment import caption_embedding, image_embedding
+    from .operators.image_quality import image_quality_row
+
+    recs = []
+    for i, r in enumerate(_synth_rows(n, seed)):
+        recs.append((r["image_id"], r))
+        if i % 6 == 0:
+            recs.append(("zz_" + r["image_id"], r))
+
+    staged = []
+    winners: dict = {}
+    for rid, r in recs:
+        quality = image_quality_row(
+            rid, r["w"], r["h"], r["fmt"], len(r["bytes"])
+        )[10]
+        try:
+            px = decode_image(bytes(r["bytes"]))
+            ie = image_embedding(px)
+            ph = phash64(px)
+        except (ValueError, NotImplementedError):
+            ie = ph = None
+        te = caption_embedding(r["caption"])
+        from .operators.alignment import STUB_THRESHOLD
+
+        if ie is None:
+            sim, align = None, False
+        else:
+            acc = 0.0
+            for a, b in zip(ie.tolist(), te.tolist()):
+                acc += a * b
+            sim, align = acc, acc >= STUB_THRESHOLD
+        staged.append((rid, quality, align, sim, ph))
+        if ph is not None and (ph not in winners or rid < winners[ph]):
+            winners[ph] = rid
+    rows = [
+        (
+            rid,
+            quality,
+            align,
+            None if sim is None else _round_like_spark(sim),
+            ph is not None and winners[ph] == rid,
+            bool(
+                quality and align and ph is not None and winners[ph] == rid
+            ),
+        )
+        for rid, quality, align, sim, ph in staged
+    ]
+    return _values_sql(
+        rows,
+        ["image_id", "quality_ok", "align_ok", "clip_sim", "is_survivor",
+         "keep"],
+        ["VARCHAR", "BOOLEAN", "BOOLEAN", "DOUBLE", "BOOLEAN", "BOOLEAN"],
+    )
 
 
 def phash_dedup_sql(n: int = 400, seed: int = 42) -> str:
