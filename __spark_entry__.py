@@ -882,7 +882,9 @@ def q_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(d % 7 == 0, F.lit("\n42 17, 99%")).otherwise(F.lit("")),
         F.when(d % 11 == 0, F.lit("\nleia mais")).otherwise(F.lit("")),
     )
-    docs = _docs(spark, sf_dir).select("doc_id", text2.alias("text"))
+    docs = _par(spark, _docs(spark, sf_dir)).select(
+        "doc_id", text2.alias("text")
+    )
     return line_clean(docs)
 
 
@@ -939,9 +941,11 @@ def q_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pii_filter_spark.operators.alignment import STUB_THRESHOLD
 
-    return multimodal_curation(
-        imgs.unionByName(copies), align_threshold=STUB_THRESHOLD
-    )
+    # materialize the synthesized input once — the operator consumes it
+    # twice (metadata gate + decode gate) and regenerating 467 JPEGs per
+    # consumer is a test-harness artifact a real parquet scan doesn't have
+    table = imgs.unionByName(copies).localCheckpoint()
+    return multimodal_curation(table, align_threshold=STUB_THRESHOLD)
 
 
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -71,20 +71,24 @@ def line_clean(
             F.length(l).alias("n"),
         ),
     )
-    total = F.aggregate(
-        tagged, F.lit(0.0), lambda acc, x: acc + x["n"]
-    )
+    # stage the per-line tagging ONCE: five output columns consume it,
+    # and inlined it would be re-evaluated per consumer (measured ~4x
+    # at sf0.1). CollapseProject keeps the staging projection because
+    # the alias is expensive and multiply-referenced.
+    staged = df.select(F.col(id_col), tagged.alias("_tagged"))
+    tg = F.col("_tagged")
+    total = F.aggregate(tg, F.lit(0.0), lambda acc, x: acc + x["n"])
     removed = F.aggregate(
-        tagged,
+        tg,
         F.lit(0.0),
         lambda acc, x: acc + F.when(x["rm"], x["n"]).otherwise(F.lit(0.0)),
     )
     frac = F.when(total > 0, removed / total).otherwise(F.lit(0.0))
-    kept = F.filter(tagged, lambda x: ~x["rm"])
-    return df.select(
+    kept = F.filter(tg, lambda x: ~x["rm"])
+    return staged.select(
         F.col(id_col),
-        F.size(lines).alias("n_lines"),
-        (F.size(lines) - F.size(kept)).alias("n_removed"),
+        F.size(tg).alias("n_lines"),
+        (F.size(tg) - F.size(kept)).alias("n_removed"),
         F.round(frac, 4).alias("removed_frac"),
         (frac <= F.lit(max_removed_frac)).alias("doc_keep"),
         F.array_join(

@@ -86,6 +86,12 @@ def multimodal_curation(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # `scored` is a diamond: it feeds both the survivor aggregation and
+    # the final verdict join. Without a materialization barrier Spark
+    # re-runs the WHOLE decode stage for each consumer — localCheckpoint
+    # the post-decode rows (id + sim + phash, bytes and embeddings
+    # already dropped) so pixels are decoded exactly once. On a cluster
+    # use reliable checkpointing or persist().
     scored = fused.select(
         "image_id",
         "pixel_phash",
@@ -93,7 +99,7 @@ def multimodal_curation(
         F.coalesce(dot >= F.lit(align_threshold), F.lit(False)).alias(
             "align_ok"
         ),
-    )
+    ).localCheckpoint()
     survivors = dedup_by_key(
         scored.where(F.col("pixel_phash").isNotNull()).select(
             "image_id", "pixel_phash"
