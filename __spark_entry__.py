@@ -908,8 +908,12 @@ def q_pixel_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pii_filter_spark.sources.synth import build_input_table
 
-    imgs = build_input_table(spark, 120, seed=42, num_partitions=8).select(
-        "image_id", "bytes"
+    # materialize once: imgs feeds both the original-hash branch and the
+    # re-encode branch (same diamond note as q_multimodal_curation)
+    imgs = (
+        build_input_table(spark, 120, seed=42, num_partitions=8)
+        .select("image_id", "bytes")
+        .localCheckpoint()
     )
     idx = F.substring("image_id", 5, 8).cast("int")
     variants = reencode_variants(imgs.where(idx % 4 == 0), quality=90)
