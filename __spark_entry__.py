@@ -1243,75 +1243,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (round-3 verdict: 13 tail entries went unsampled under insertion
     # order).
     return {
-        "embedding_norms": q_embedding_norms,
-        "lang_distribution": q_lang_distribution,
-        "events_rollup": q_events_rollup,
-        "stratified_sample": q_stratified_sample,
-        "skew_salted_counts": q_skew_salted_counts,
         "fingerprints": q_fingerprints,
         "events_by_type": q_events_by_type,
-        "events_windowed": q_events_windowed,
-        "audio_features": q_audio_features,
-        "resume_antijoin": q_resume_antijoin,
-        "metrics_rollup": q_metrics_rollup,
-        "set_ops": q_set_ops,
-        "video_frame_sample": q_video_frame_sample,
-        "source_mixture": q_source_mixture,
-        "perplexity_scores": q_perplexity_scores,
-        "bpe_token_totals": q_bpe_token_totals,
-        "dedup_window": q_dedup_window,
-        "url_dedup": q_url_dedup,
-        "langid_documents": q_langid_documents,
-        "simhash": q_simhash,
         "doc_word_stats": q_doc_word_stats,
-        "line_clean": q_line_clean,
-        "image_quality_filter": q_image_quality_filter,
-        "ann_ivf": q_ann_ivf,
-        "image_metadata_scrub": q_image_metadata_scrub,
-        "sentence_split": q_sentence_split,
-        "ann_lsh": q_ann_lsh,
-        "token_counts_by_source": q_token_counts_by_source,
-        "ann_batch": q_ann_batch,
-        "ann_bruteforce": q_ann_bruteforce,
-        "kmv_distinct_users": q_kmv_distinct_users,
-        "golden_broadcast_join": q_golden_broadcast_join,
-        "repetition_signals": q_repetition_signals,
+        "metrics_rollup": q_metrics_rollup,
+        "dedup_window": q_dedup_window,
         "quality_filter_heuristic": q_quality_filter_heuristic,
-        "minhash_signatures": q_minhash_signatures,
-        "export_prep": q_export_prep,
-        "image_features": q_image_features,
+        "events_windowed": q_events_windowed,
+        "lang_distribution": q_lang_distribution,
+        "skew_salted_counts": q_skew_salted_counts,
+        "event_sessions": q_event_sessions,
+        "embedding_norms": q_embedding_norms,
+        "events_json_roundtrip": q_events_json_roundtrip,
+        "resume_antijoin": q_resume_antijoin,
         "dedup_exact": q_dedup_exact,
-        "embedding_near_pairs": q_embedding_near_pairs,
+        "audio_features": q_audio_features,
+        "token_counts_by_source": q_token_counts_by_source,
+        "events_rollup": q_events_rollup,
+        "source_mixture": q_source_mixture,
+        "langid_documents": q_langid_documents,
+        "sentence_split": q_sentence_split,
+        "url_dedup": q_url_dedup,
+        "pii_scrub_captions": q_pii_scrub_captions,
+        "ann_bruteforce": q_ann_bruteforce,
+        "perplexity_scores": q_perplexity_scores,
+        "restore_roundtrip": q_restore_roundtrip,
+        "line_clean": q_line_clean,
+        "set_ops": q_set_ops,
+        "golden_broadcast_join": q_golden_broadcast_join,
+        "pii_type_counts": q_pii_type_counts,
+        "simhash": q_simhash,
+        "stratified_sample": q_stratified_sample,
+        "restore_label_cleanup": q_restore_label_cleanup,
+        "image_metadata_scrub": q_image_metadata_scrub,
+        "top_bigrams": q_top_bigrams,
+        "contamination": q_contamination,
+        "video_frame_sample": q_video_frame_sample,
+        "minhash_signatures": q_minhash_signatures,
         "ngram_jaccard": q_ngram_jaccard,
+        "repetition_signals": q_repetition_signals,
+        "image_quality_filter": q_image_quality_filter,
+        "kmv_distinct_users": q_kmv_distinct_users,
+        "sensitive_scrub": q_sensitive_scrub,
+        "ann_ivf": q_ann_ivf,
+        "ann_batch": q_ann_batch,
+        "ann_lsh": q_ann_lsh,
+        "embedding_near_pairs": q_embedding_near_pairs,
+        "curation_pipeline": q_curation_pipeline,
+        "bpe_token_totals": q_bpe_token_totals,
+        "image_features": q_image_features,
+        "dsir_selection": q_dsir_selection,
+        "exact_substring": q_exact_substring,
+        "export_prep": q_export_prep,
+        "quality_classifier": q_quality_classifier,
+        "scrub_golden_f1": q_scrub_golden_f1,
+        "simhash_near_pairs": q_simhash_near_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "lsh_bucket_stats": q_lsh_bucket_stats,
         "span_dedup": q_span_dedup,
         "clip_alignment": q_clip_alignment,
-        "exact_substring": q_exact_substring,
-        "pack_sequences": q_pack_sequences,
         "phash_dedup": q_phash_dedup,
-        "image_verify": q_image_verify,
-        "top_bigrams": q_top_bigrams,
-        "sensitive_scrub": q_sensitive_scrub,
-        "curation_pipeline": q_curation_pipeline,
-        "multimodal_curation": q_multimodal_curation,
-        "quality_full": q_quality_full,
-        "lsh_bucket_stats": q_lsh_bucket_stats,
-        "events_json_roundtrip": q_events_json_roundtrip,
         "embedding_near_pairs_lsh": q_embedding_near_pairs_lsh,
-        "event_sessions": q_event_sessions,
-        "dsir_selection": q_dsir_selection,
-        "pii_type_counts": q_pii_type_counts,
-        "pii_scrub_captions": q_pii_scrub_captions,
         "phash_near_pairs": q_phash_near_pairs,
         "pixel_phash_pairs": q_pixel_phash_pairs,
-        "contamination": q_contamination,
-        "quality_classifier": q_quality_classifier,
-        "restore_label_cleanup": q_restore_label_cleanup,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash_near_pairs": q_simhash_near_pairs,
-        "restore_roundtrip": q_restore_roundtrip,
-        "scrub_golden_f1": q_scrub_golden_f1,
-        "semdedup": q_semdedup,
+        "image_verify": q_image_verify,
         "dedup_clusters": q_dedup_clusters,
+        "quality_full": q_quality_full,
+        "semdedup": q_semdedup,
+        "pack_sequences": q_pack_sequences,
+        "multimodal_curation": q_multimodal_curation,
     }
 
 
