@@ -154,6 +154,51 @@ CASES = [
         "through one task; group bases are folded in as literals, no "
         "join.",
     ),
+    (
+        "exact_substring",
+        "Exact-substring dedup (Lee et al. 2022): span md5s are computed "
+        "in-row by HOFs inside one codegen projection and evaluated "
+        "exactly once — posexplode_outer + an above-Generate null filter "
+        "(plain posexplode injects a size()>0 pre-filter below the "
+        "Generate that re-runs the transform per emitted row; measured "
+        "5.3 s vs 0.76 s at sf0.1), and the removal list joins back onto "
+        "the cheap token frame. Two shuffles total: the span_hash "
+        "first-occurrence window and the tiny removal-mass groupBy.",
+    ),
+    (
+        "line_clean",
+        "RefinedWeb/C4 line rules: map-only, zero shuffles, no UDF. The "
+        "per-line tagging array is staged ONCE as a projection (five "
+        "consumers would otherwise re-evaluate the regex HOF tree; "
+        "CollapseProject keeps the staging because the alias is "
+        "expensive and multiply-referenced).",
+    ),
+    (
+        "clip_alignment",
+        "LAION CLIP-score shape: ONE mapInPandas straight off the scan "
+        "computes both embeddings (bytes enter exactly one Python stage "
+        "and never shuffle); the cosine is a JVM-side zip_with/aggregate "
+        "fold and the threshold keep is codegen — zero exchanges.",
+    ),
+    (
+        "pixel_phash_pairs",
+        "Content-level image near-dup: two mapInPandas stages straight "
+        "off the scan (re-encode variants, then pHash — bytes never "
+        "shuffle), then the banded hamming operator at 8x8-bit chunks "
+        "(pigeonhole-exact recall to hamming<=7; the chunks dial trades "
+        "bucket granularity for recall radius, 16-bit chunks stay the "
+        "corpus-scale default). One groupBy on (chunk_idx, chunk_val), "
+        "in-bucket expansion, one dropDuplicates.",
+    ),
+    (
+        "multimodal_curation",
+        "LAION image-side composite: the metadata-quality gate never "
+        "touches bytes; alignment + pixel-pHash share ONE decode pass, "
+        "localCheckpointed because two consumers (survivor agg + final "
+        "join) would otherwise decode twice; survivor selection is the "
+        "skew-safe two-phase min-id (groupBy (phash, salt) then phash, "
+        "semi-join back).",
+    ),
 ]
 
 
