@@ -952,6 +952,23 @@ def q_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal_curation(table, align_threshold=STUB_THRESHOLD)
 
 
+def q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl dedup primitive (CCNet/RefinedWeb cross-snapshot
+    shape): a deterministic Bloom filter is built over the 'src0' slice's
+    normalized-text digests (per-partition OR'd bitmaps, digests never
+    shuffle) and broadcast; every doc is flagged in one Arrow pass with
+    zero shuffles. No false negatives by construction; the fixture oracle
+    re-derives the EXACT bitmap, so even the (deterministic) false
+    positives hash-match."""
+    from pii_filter_spark.operators.bloom import build_bloom, seen_flags
+
+    docs = _par(spark, _docs(spark, sf_dir)).select(
+        "doc_id", "source", "text"
+    )
+    bloom = build_bloom(docs.where(F.col("source") == "src0"))
+    return seen_flags(docs, bloom)
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality scorer (fastText-style hashed-ngram logistic
     classifier, distilled from the heuristic stage) + GPT-3 Pareto keep
@@ -1269,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_scores": q_perplexity_scores,
         "restore_roundtrip": q_restore_roundtrip,
         "line_clean": q_line_clean,
+        "bloom_seen": q_bloom_seen,
         "set_ops": q_set_ops,
         "golden_broadcast_join": q_golden_broadcast_join,
         "pii_type_counts": q_pii_type_counts,
@@ -1882,6 +1900,7 @@ def _fixture_oracles() -> dict[str, str]:
         ("embedding_near_pairs_lsh", osup.emb_near_pairs_lsh_sql),
         ("exact_substring", osup.exact_substring_sql),
         ("bpe_token_totals", osup.bpe_token_totals_sql),
+        ("bloom_seen", osup.bloom_seen_sql),
         ("line_clean", osup.line_clean_sql),
         ("pack_sequences", osup.pack_sequences_sql),
         ("dsir_selection", osup.dsir_selection_sql),

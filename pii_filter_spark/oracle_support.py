@@ -1025,6 +1025,22 @@ def line_clean_sql(sf_dir: str) -> str:
     )
 
 
+def bloom_seen_sql(sf_dir: str) -> str:
+    """q_bloom_seen expected output via the operator's pure twin: same
+    digests, same k positions, same bitmap — exact including FPs."""
+    from .operators.bloom import bloom_rows
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, source, text "
+        f"FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    seen = [t for _, s, t in docs if s == "src0"]
+    rows = bloom_rows(seen, [(d, t) for d, _, t in docs])
+    return _values_sql(rows, ["doc_id", "seen"], ["BIGINT", "BOOLEAN"])
+
+
 def bpe_token_totals_sql(sf_dir: str) -> str:
     """q_bpe_token_totals expected output: per-source byte-level BPE totals
     through the SAME frozen tokenizer (core/bpe.py) — exact integers."""
