@@ -969,6 +969,30 @@ def q_bloom_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seen_flags(docs, bloom)
 
 
+def q_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware duplicate-cluster survivors (RefinedWeb keeps the
+    LONGEST duplicate, not an arbitrary one): same minhash pair graph as
+    dedup_clusters, but the survivor is argmax(length(text)) per cluster
+    with min-id tie-break — the planted tail-extended copies outscore
+    their originals, so survivorship provably differs from min-id. One
+    max_by aggregate per cluster; no corpus window. Oracle: union-find +
+    the same argmax in pure Python."""
+    from pii_filter_spark.operators.components import dedup_clusters_best
+    from pii_filter_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra trailing tokens here")).alias(
+            "text"
+        ),
+    ).where(F.col("doc_id") % 7 == 0)
+    union = _par(spark, docs.unionByName(copies))
+    pairs = minhash_lsh_pairs(union, threshold=0.5)
+    scored = union.select("doc_id", F.length("text").alias("score"))
+    return dedup_clusters_best(scored, pairs, score_col="score")
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned quality scorer (fastText-style hashed-ngram logistic
     classifier, distilled from the heuristic stage) + GPT-3 Pareto keep
@@ -1326,6 +1350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_phash_pairs": q_pixel_phash_pairs,
         "image_verify": q_image_verify,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_best": q_dedup_best,
         "quality_full": q_quality_full,
         "semdedup": q_semdedup,
         "pack_sequences": q_pack_sequences,
@@ -1875,6 +1900,7 @@ def _fixture_oracles() -> dict[str, str]:
         ("minhash_lsh_pairs", osup.minhash_lsh_pairs_sql),
         ("lsh_bucket_stats", osup.lsh_bucket_stats_sql),
         ("dedup_clusters", osup.dedup_clusters_sql),
+        ("dedup_best", osup.dedup_best_sql),
         ("simhash_near_pairs", osup.simhash_near_pairs_sql),
         ("image_verify", lambda sf: osup.image_verify_sql()),
         ("clip_alignment", lambda sf: osup.clip_alignment_sql()),

@@ -155,3 +155,45 @@ def dedup_clusters(
         cluster.alias("cluster_id"),
         (F.col(id_col) == cluster).alias("is_survivor"),
     )
+
+
+def dedup_clusters_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Quality-aware survivor selection: per duplicate cluster keep the
+    HIGHEST-`score_col` member (ties break to the min id, so the result
+    is deterministic).
+
+    Production near-dup dedup keeps the best copy, not an arbitrary one
+    (e.g. RefinedWeb keeps the longest/cleanest duplicate) — min-id
+    survivors throw away quality information the pipeline already
+    computed. Shape: the same connected-components labeling, then ONE
+    max_by aggregation per cluster (map-side combined) joined back as a
+    broadcastable (cluster -> winner) table; no window over the corpus.
+    """
+    comp = connected_components(pairs, a_col, b_col)
+    labeled = docs.join(
+        comp.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn("cluster_id", F.coalesce("component", F.col(id_col)))
+    # deterministic argmax: (score, -id) lexicographic via a struct —
+    # max_by on the struct is a single map-side-combinable aggregate
+    rank = F.struct(
+        F.col(score_col).alias("s"), (-F.col(id_col)).alias("neg_id")
+    )
+    winners = labeled.groupBy("cluster_id").agg(
+        F.max_by(F.col(id_col), rank).alias("_winner")
+    )
+    return (
+        labeled.join(winners, "cluster_id")
+        .select(
+            id_col,
+            "cluster_id",
+            F.col(score_col),
+            (F.col(id_col) == F.col("_winner")).alias("is_survivor"),
+        )
+    )

@@ -450,6 +450,50 @@ def dedup_clusters_sql(sf_dir: str) -> str:
     )
 
 
+def dedup_best_sql(sf_dir: str) -> str:
+    """q_dedup_best expected output: union-find closure of the same pair
+    graph, then argmax(len(text)) survivor per cluster (min-id ties)."""
+    pairs, all_ids = _minhash_pairs(sf_dir)
+    docs = list(_read_docs(sf_dir))
+    all_docs = docs + [
+        (d + 1_000_000, t + " extra trailing tokens here")
+        for d, t in docs
+        if (d + 1_000_000) % 7 == 0
+    ]
+    length = {d: len(t or "") for d, t in all_docs}
+    parent = {i: i for i in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (x, y) in pairs:
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    comp_min: dict = {}
+    for i in all_ids:
+        r = find(i)
+        comp_min[r] = min(comp_min.get(r, i), i)
+    winners: dict = {}
+    for i in all_ids:
+        c = comp_min[find(i)]
+        cur = winners.get(c)
+        if cur is None or (length[i], -i) > (length[cur], -cur):
+            winners[c] = i
+    rows = sorted(
+        (i, comp_min[find(i)], length[i], winners[comp_min[find(i)]] == i)
+        for i in all_ids
+    )
+    return _values_sql(
+        rows,
+        ["doc_id", "cluster_id", "score", "is_survivor"],
+        ["BIGINT", "BIGINT", "INTEGER", "BOOLEAN"],
+    )
+
+
 def simhash_near_pairs_sql(sf_dir: str, max_hamming: int = 6) -> str:
     from .operators.dedup import simhash64
 

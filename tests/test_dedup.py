@@ -362,3 +362,24 @@ def test_star_reroute_does_not_mask_pairs_found_in_normal_buckets(spark):
                                max_bucket_size=4).toPandas()
     got = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
     assert (90, 91) in got, got
+
+
+def test_dedup_clusters_best_survivor_is_argmax(spark):
+    """Quality-aware survivor: highest score wins the cluster, min-id
+    breaks ties, singletons survive themselves."""
+    from pii_filter_spark.operators.components import dedup_clusters_best
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 4), (99, 1)],
+        "doc_id long, score long",
+    )
+    out = {r.doc_id: (r.cluster_id, r.is_survivor)
+           for r in dedup_clusters_best(docs, edges, "score").collect()}
+    assert out[2] == (1, True)     # score 9, min id among the 9s
+    assert out[3] == (1, False)    # tie loses to smaller id
+    assert out[1] == (1, False)
+    assert out[10] == (10, True) and out[11] == (10, False)
+    assert out[99] == (99, True)   # singleton
