@@ -154,7 +154,10 @@ def merge_ranks() -> Dict[Tuple[bytes, bytes], int]:
 @lru_cache(maxsize=65536)
 def _encode_pretoken(tok: str) -> int:
     """Number of BPE tokens for one pre-token (lowest-rank-first merge)."""
-    ranks = merge_ranks()
+    return _merge_count(tok, merge_ranks())
+
+
+def _merge_count(tok: str, ranks: Dict[Tuple[bytes, bytes], int]) -> int:
     sym: List[bytes] = [bytes([b]) for b in tok.encode("utf-8")]
     while len(sym) >= 2:
         best_rank, best_i = None, -1
@@ -176,3 +179,125 @@ def bpe_token_count(text: str) -> int:
 def bpe_token_counts_batch(texts) -> List[int]:
     """Vectorized-batch helper for the pandas UDF path."""
     return [bpe_token_count(t if isinstance(t, str) else "") for t in texts]
+
+
+# --------------------------------------------------------------------------
+# Public-vocab seam: the released GPT-2 `merges.txt` wire format.
+#
+# Production packing/mixing counts must be exact under the TARGET MODEL's
+# released vocabulary, not this repo's seed-trained one. Downloads are
+# prohibited in this sandbox, so instead of embedding an unverifiable
+# "GPT-2 subset", this seam implements the published FILE FORMAT and byte
+# alphabet exactly (Radford et al. 2019, encoder.py — `bytes_to_unicode`
+# and the `merges.txt` "left right" pair-per-line layout), so the real
+# `gpt2/merges.txt` drops in unchanged:
+#
+#     bpe = ByteBPE.from_merges_txt(open("merges.txt").read())
+#     bpe.count("some text")          # GPT-2-exact token count
+#
+# `to_merges_txt()` is the inverse — the repo's frozen table serialized in
+# the same format — which lets tests round-trip the parser and lets the
+# q_bpe_gpt2_counts query prove the seam end-to-end without network.
+# --------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=1)
+def bytes_to_unicode() -> Dict[int, str]:
+    """GPT-2's published byte<->printable-unicode bijection: printable
+    latin-1 bytes map to themselves; the rest shift to 256+n. This is an
+    ALGORITHM from the released encoder.py, reproduced from its spec —
+    the three self-mapped ranges are ! .. ~, ¡ .. ¬ and ® .. ÿ."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+def parse_merges_txt(text: str) -> List[Tuple[bytes, bytes]]:
+    """Parse the released `merges.txt` layout: an optional `#version`
+    header, then one `left right` merge per line with both tokens spelled
+    in the bytes_to_unicode alphabet. Returns raw byte-level pairs in
+    rank order (= this module's internal representation)."""
+    u2b = {u: bytes([b]) for b, u in bytes_to_unicode().items()}
+
+    def tok_bytes(tok: str) -> bytes:
+        try:
+            return b"".join(u2b[ch] for ch in tok)
+        except KeyError as e:  # noqa: PERF203 — error path only
+            raise ValueError(
+                f"merges.txt token {tok!r} contains a character outside "
+                "the GPT-2 byte alphabet"
+            ) from e
+
+    merges: List[Tuple[bytes, bytes]] = []
+    for ln in text.splitlines():
+        ln = ln.strip()
+        if not ln or ln.startswith("#"):
+            continue
+        parts = ln.split(" ")
+        if len(parts) != 2:
+            raise ValueError(f"malformed merges.txt line: {ln!r}")
+        merges.append((tok_bytes(parts[0]), tok_bytes(parts[1])))
+    return merges
+
+
+def to_merges_txt(merges: List[Tuple[bytes, bytes]]) -> str:
+    """Serialize byte-level merge pairs in the released layout (inverse
+    of parse_merges_txt)."""
+    b2u = bytes_to_unicode()
+
+    def spell(tok: bytes) -> str:
+        return "".join(b2u[b] for b in tok)
+
+    lines = ["#version: 0.2"]
+    lines += [f"{spell(a)} {spell(b)}" for a, b in merges]
+    return "\n".join(lines) + "\n"
+
+
+class ByteBPE:
+    """A byte-level BPE counter over an arbitrary merge table — the
+    vocab seam. Same pre-tokenizer and lowest-rank-first merge loop as
+    the module-level default; only the table differs."""
+
+    __slots__ = ("ranks", "_cache")
+
+    def __init__(self, merges: List[Tuple[bytes, bytes]]):
+        self.ranks: Dict[Tuple[bytes, bytes], int] = {
+            p: i for i, p in enumerate(merges)
+        }
+        self._cache: Dict[str, int] = {}
+
+    @classmethod
+    def from_merges_txt(cls, text: str) -> "ByteBPE":
+        return cls(parse_merges_txt(text))
+
+    def count_pretoken(self, tok: str) -> int:
+        n = self._cache.get(tok)
+        if n is None:
+            n = _merge_count(tok, self.ranks)
+            if len(self._cache) < 65536:
+                self._cache[tok] = n
+        return n
+
+    def count(self, text: str) -> int:
+        return sum(self.count_pretoken(t) for t in _pretokens(text))
+
+    def counts_batch(self, texts) -> List[int]:
+        return [self.count(t if isinstance(t, str) else "") for t in texts]
+
+
+def frozen_merges_txt() -> str:
+    """The repo's frozen seed-trained table serialized in the released
+    wire format — the deterministic stand-in a real deployment replaces
+    with the target model's `merges.txt`."""
+    ordered = sorted(merge_ranks().items(), key=lambda kv: kv[1])
+    return to_merges_txt([p for p, _ in ordered])

@@ -167,7 +167,7 @@ _SYM = None  # sentinel: rule is gated by _SYM_RE, not by tokens
 
 
 def _first_words(phrases) -> frozenset:
-    """Gate token per phrase: the first word — but tokenized the same way
+    r"""Gate token per phrase: the first word — but tokenized the same way
     texts are (\w+), so a hyphenated phrase like "não-concorrência"
     gates on its LONGEST \w chunk ("concorrência": rarer than "não" and
     guaranteed present when the phrase matches). A gate token that can

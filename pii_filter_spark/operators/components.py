@@ -172,28 +172,41 @@ def dedup_clusters_best(
     Production near-dup dedup keeps the best copy, not an arbitrary one
     (e.g. RefinedWeb keeps the longest/cleanest duplicate) — min-id
     survivors throw away quality information the pipeline already
-    computed. Shape: the same connected-components labeling, then ONE
-    max_by aggregation per cluster (map-side combined) joined back as a
-    broadcastable (cluster -> winner) table; no window over the corpus.
+    computed.
+
+    Scale shape: `comp` labels ONLY docs that appear in some pair
+    (edge-sized, ≪ corpus), so winner selection never touches the full
+    corpus. Singletons — `component IS NULL` after the labeling join —
+    are survivors by definition and are emitted directly with zero
+    further joins; the winners table (one row per multi-member cluster,
+    ≪ edges) joins only against the edge-sized duplicate subset. The
+    sole corpus-wide shuffle is the unavoidable id-keyed labeling join
+    (same as dedup_clusters); both branches share its exchange, which
+    AQE reuses.
     """
     comp = connected_components(pairs, a_col, b_col)
-    labeled = docs.join(
+    labeled = docs.select(id_col, score_col).join(
         comp.withColumnRenamed("id", id_col), id_col, "left"
-    ).withColumn("cluster_id", F.coalesce("component", F.col(id_col)))
+    )
+    dup = labeled.where(F.col("component").isNotNull())
     # deterministic argmax: (score, -id) lexicographic via a struct —
     # max_by on the struct is a single map-side-combinable aggregate
     rank = F.struct(
         F.col(score_col).alias("s"), (-F.col(id_col)).alias("neg_id")
     )
-    winners = labeled.groupBy("cluster_id").agg(
+    winners = dup.groupBy("component").agg(
         F.max_by(F.col(id_col), rank).alias("_winner")
     )
-    return (
-        labeled.join(winners, "cluster_id")
-        .select(
-            id_col,
-            "cluster_id",
-            F.col(score_col),
-            (F.col(id_col) == F.col("_winner")).alias("is_survivor"),
-        )
+    dup_out = dup.join(winners, "component").select(
+        id_col,
+        F.col("component").alias("cluster_id"),
+        F.col(score_col),
+        (F.col(id_col) == F.col("_winner")).alias("is_survivor"),
     )
+    single_out = labeled.where(F.col("component").isNull()).select(
+        id_col,
+        F.col(id_col).alias("cluster_id"),
+        F.col(score_col),
+        F.lit(True).alias("is_survivor"),
+    )
+    return dup_out.unionByName(single_out)

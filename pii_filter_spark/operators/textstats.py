@@ -56,6 +56,35 @@ def bpe_exact_counts(
     return df.select(F.col(id_col), _bpe(F.col(text_col)).alias("n_bpe_tokens"))
 
 
+def bpe_counts_from_merges_txt(
+    df: DataFrame,
+    merges_txt: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_bpe_tokens) under an ARBITRARY released-format vocabulary:
+    `merges_txt` is the content of a GPT-2-layout merges.txt (core/bpe
+    parse_merges_txt), shipped to executors by closure capture (a merge
+    table is ~KBs–1 MB — broadcast-variable territory is unnecessary) and
+    parsed ONCE per worker. This is the public-vocab seam's Spark stage:
+    point it at the target model's merges.txt and every count downstream
+    (packing boundaries, mixture budgets) is that tokenizer's exact
+    number."""
+    from pyspark.sql.functions import pandas_udf
+
+    holder: list = []
+
+    @pandas_udf("long")
+    def _bpe(s: pd.Series) -> pd.Series:
+        from ..core.bpe import ByteBPE
+
+        if not holder:
+            holder.append(ByteBPE.from_merges_txt(merges_txt))
+        return pd.Series(holder[0].counts_batch(s), dtype="int64")
+
+    return df.select(F.col(id_col), _bpe(F.col(text_col)).alias("n_bpe_tokens"))
+
+
 def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Composite quality score in [0,1] from the shared signal expressions.
 

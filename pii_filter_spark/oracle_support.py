@@ -1105,6 +1105,32 @@ def bpe_token_totals_sql(sf_dir: str) -> str:
     )
 
 
+def bpe_gpt2_counts_sql(sf_dir: str) -> str:
+    """q_bpe_gpt2_counts expected output: per-source (total, max, count)
+    through the public-vocab seam — the frozen table serialized to the
+    released merges.txt wire format and re-parsed by ByteBPE, exactly as
+    the Spark pandas-UDF stage does."""
+    from .core.bpe import ByteBPE, frozen_merges_txt
+
+    bpe = ByteBPE.from_merges_txt(frozen_merges_txt())
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT source, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    agg: dict = {}
+    for src, t in docs:
+        n = bpe.count(t or "")
+        tot, mx, cnt = agg.get(src, (0, 0, 0))
+        agg[src] = (tot + n, max(mx, n), cnt + 1)
+    rows = [(s, v[0], v[1], v[2]) for s, v in sorted(agg.items())]
+    return _values_sql(
+        rows,
+        ["source", "total_bpe_tokens", "max_doc_tokens", "n_docs"],
+        ["VARCHAR", "BIGINT", "BIGINT", "BIGINT"],
+    )
+
+
 def pack_sequences_sql(sf_dir: str, seq_len: int = 2048) -> str:
     """q_pack_sequences expected output: global exclusive token prefix sum
     in doc_id order over tokenizer-exact BPE counts (core/bpe.py, the same

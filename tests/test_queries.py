@@ -73,3 +73,34 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) == 500
     assert {"doc_id", "keep", "scrubbed_caption", "scrub_count"} <= set(df.columns)
+
+
+def test_unverified_queries_in_first_50():
+    """Standing coverage policy (round-4 verdict #1/#5): the driver's
+    correctness gate checks exactly the FIRST 50 queries() entries each
+    round (a count cap — r3 checked 50/63, r4 checked 50/71), so any
+    query WITHOUT a driver-green row in some CORRECTNESS_r*.json must sit
+    inside the first 50 positions or it can never be proven. This test
+    makes the r3/r4 regression (9 queries stuck past the cap for two
+    rounds) structurally impossible to reintroduce."""
+    import glob
+    import json
+
+    proven = set()
+    arts = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "..",
+                                         "CORRECTNESS_r*.json")))
+    for path in arts:
+        with open(path) as f:
+            data = json.load(f)
+        for name, row in data.items():
+            if (row.get("rows_match") and row.get("schema_match")
+                    and row.get("hash_match") in (True, None)):
+                proven.add(name)
+    if not arts:
+        pytest.skip("no CORRECTNESS artifacts yet (round 1)")
+    order = list(entry_mod.queries().keys())
+    late_unproven = [n for n in order[50:] if n not in proven]
+    assert not late_unproven, (
+        f"queries with no driver-green row sit past position 50 and will "
+        f"never be checked: {late_unproven} — move them into the prefix"
+    )
