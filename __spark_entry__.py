@@ -535,6 +535,39 @@ def q_image_metadata_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_image_metadata(injected)
 
 
+def q_jpeg_exif_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub of JPEG EXIF/COM metadata (images/jpeg_metadata.py —
+    the TIFF/EXIF segment walker the PNG stage documents as its JPEG
+    twin): deterministic per-index injection of Artist/Copyright PII,
+    CPF/toxic comments and a GPS sub-IFD into REAL baseline-JPEG bytes,
+    then marker-level extraction + detection + lossless strip (the
+    entropy-coded scan is untouched byte-for-byte, so decoded pixels are
+    bit-identical by construction). One mapInPandas pass; non-JPEG rows
+    pass through flagged. Fixture oracle re-derives every value through
+    the same pure functions."""
+    from pii_filter_spark.operators.image_metadata import (
+        inject_jpeg_fixture_metadata,
+        scrub_jpeg_metadata,
+    )
+    from pii_filter_spark.sources.synth import build_input_table
+
+    imgs = build_input_table(spark, 300, seed=42, num_partitions=8)
+
+    def _inject(batches):
+        for pdf in batches:
+            pdf = pdf[["image_id", "bytes"]].copy()
+            pdf["bytes"] = [
+                inject_jpeg_fixture_metadata(bytes(b), int(i[4:]))
+                for i, b in zip(pdf["image_id"], pdf["bytes"])
+            ]
+            yield pdf
+
+    injected = imgs.select("image_id", "bytes").mapInPandas(
+        _inject, schema="image_id string, bytes binary"
+    )
+    return scrub_jpeg_metadata(injected)
+
+
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fan-out frame sampling over REAL MJPEG AVI bytes (video/avi.py,
     frames encoded by the real baseline JPEG codec): deterministic
@@ -1211,6 +1244,23 @@ def q_bpe_gpt2_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed LM TRAINING + scoring (CCNet trains its n-gram LM on
+    a corpus, then scores with it; the seed-trained perplexity stage
+    only covers the score half): phase 1 counts char trigrams with
+    per-batch Counter combine (a partition emits at most |charset|^3
+    partials regardless of row count) and ONE groupBy-sum shuffle;
+    phase 2 pulls the bounded top-K + 2 scalars to the driver and
+    quantizes add-one-smoothed NLL to integer micro-nats (libm once per
+    distinct gram, the DSIR trick); phase 3 scores with a closure-
+    broadcast dict, zero shuffles. Output is exact integers; the oracle
+    twin re-derives via the same pure functions."""
+    from pii_filter_spark.operators.corpus_lm import corpus_lm_scores
+
+    docs = _par(spark, _docs(spark, sf_dir)).select("doc_id", "text")
+    return corpus_lm_scores(docs)
+
+
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pii_filter_spark.operators.dedup import simhash_near_pairs
 
@@ -1399,6 +1449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- block 2: new this round ------------------------------------
         "url_filter": q_url_filter,
         "bpe_gpt2_counts": q_bpe_gpt2_counts,
+        "jpeg_exif_scrub": q_jpeg_exif_scrub,
+        "corpus_lm_perplexity": q_corpus_lm_perplexity,
         # -- block 3: r4-green, fewest prior green rounds ----------------
         "url_dedup": q_url_dedup,
         "ann_batch": q_ann_batch,
@@ -2043,6 +2095,8 @@ def _fixture_oracles() -> dict[str, str]:
         ("clip_alignment", lambda sf: osup.clip_alignment_sql()),
         ("image_features", lambda sf: osup.image_features_sql()),
         ("image_metadata_scrub", lambda sf: osup.image_metadata_sql()),
+        ("jpeg_exif_scrub", lambda sf: osup.jpeg_exif_scrub_sql()),
+        ("corpus_lm_perplexity", osup.corpus_lm_sql),
         ("image_quality_filter", lambda sf: osup.image_quality_sql()),
         ("export_prep", lambda sf: osup.export_prep_sql()),
         ("video_frame_sample", lambda sf: osup.video_frame_sample_sql()),

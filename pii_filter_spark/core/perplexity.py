@@ -45,6 +45,11 @@ def _normalize(text: str) -> str:
     return " ".join(_NON_LETTER.sub(" ", text.lower()).split())
 
 
+# public alias: the corpus-trained LM operator (operators/corpus_lm.py)
+# must normalize EXACTLY like the seed-trained one so scores compare
+normalize_for_lm = _normalize
+
+
 def _train():
     text = _BOS + _BOS + _normalize(_TRAIN)
     tri = Counter()

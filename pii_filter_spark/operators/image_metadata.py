@@ -121,3 +121,114 @@ def scrub_image_metadata(
             )
 
     return df.select(id_col, bytes_col).mapInPandas(_scrub, schema=META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JPEG container twin (images/jpeg_metadata.py): EXIF/COM extraction, GPS
+# detection, lossless APP1/APP13/COM strip. Same one-pass mapInPandas
+# shape as the PNG stage; decode never happens (the strip is a marker-
+# level rewrite that leaves the entropy-coded scan byte-identical).
+# ---------------------------------------------------------------------------
+
+JPEG_META_SCHEMA = (
+    "image_id string, is_jpeg boolean, meta_segments int, meta_fields int, "
+    "meta_pii int, meta_toxic int, has_gps boolean, bytes_removed long, "
+    "clean_md5 string"
+)
+
+
+def scrub_jpeg_row(data: bytes):
+    """Pure per-image JPEG scrub facts: (is_jpeg, strip-eligible segment
+    count, text-field count, pii span count, toxic span count, GPS
+    sub-IFD present, bytes removed, md5 of the stripped file). Shared
+    verbatim by the Spark stage and the DuckDB fixture oracle."""
+    from ..images.jpeg_metadata import (
+        count_meta_segments,
+        extract_jpeg_text_metadata,
+        has_gps,
+        is_jpeg,
+        strip_jpeg_metadata,
+    )
+
+    jp = is_jpeg(data)
+    fields = extract_jpeg_text_metadata(data)
+    pii = toxic = 0
+    for _, text in fields:
+        for d in detect_all(text, with_sensitive=False):
+            if d["type"] == TOXIC_TYPE:
+                toxic += 1
+            else:
+                pii += 1
+    clean = strip_jpeg_metadata(data)
+    return (
+        jp,
+        count_meta_segments(data),
+        len(fields),
+        pii,
+        toxic,
+        has_gps(data),
+        len(data) - len(clean),
+        hashlib.md5(clean).hexdigest(),
+    )
+
+
+def scrub_jpeg_metadata(
+    df: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """Per-image JPEG EXIF/COM scrub facts (see scrub_jpeg_row): ONE
+    mapInPandas pass, bytes never shuffle, non-JPEG rows pass through
+    flagged."""
+
+    def _scrub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (rec[0], *scrub_jpeg_row(bytes(rec[1])))
+                for rec in zip(pdf[id_col], pdf[bytes_col])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "is_jpeg", "meta_segments", "meta_fields",
+                    "meta_pii", "meta_toxic", "has_gps", "bytes_removed",
+                    "clean_md5",
+                ],
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        _scrub, schema=JPEG_META_SCHEMA
+    )
+
+
+def inject_jpeg_fixture_metadata(data: bytes, idx: int) -> bytes:
+    """Deterministic per-index EXIF/COM injection (JPEG twin of
+    inject_fixture_metadata): idx%5==0 Artist-email EXIF + GPS, 1 COM
+    with CPF + toxic word, 2 clean camera EXIF, 3 COM + Copyright EXIF,
+    4 untouched. Non-JPEG rows pass through (passthrough path under
+    test). Shared by the driver query and its DuckDB fixture oracle."""
+    from ..images.jpeg_metadata import add_comment, build_exif_app1, is_jpeg
+
+    if not is_jpeg(data):
+        return data
+    v = idx % 5
+    if v == 0:
+        app1 = build_exif_app1(
+            {"Artist": f"Maria Souza user{idx}@example.com"},
+            gps=(-23.5505, -46.6333),
+        )
+        return data[:2] + app1 + data[2:]
+    if v == 1:
+        return add_comment(
+            data, f"dono CPF {_FIXTURE_CPF}, esse palhaço"
+        )
+    if v == 2:
+        app1 = build_exif_app1(
+            {"Make": "ACME", "Model": f"CamPro {idx % 9}",
+             "Software": "fw 2.3.1", "DateTime": "2024:01:15 10:30:00"}
+        )
+        return data[:2] + app1 + data[2:]
+    if v == 3:
+        app1 = build_exif_app1({"Copyright": f"(c) 2024 Studio {idx}"})
+        return add_comment(
+            data[:2] + app1 + data[2:], f"shoot {idx}, tel (11) 91234-5678"
+        )
+    return data

@@ -636,6 +636,51 @@ def image_metadata_sql(n: int = 300, seed: int = 42) -> str:
     )
 
 
+def corpus_lm_sql(sf_dir: str) -> str:
+    """q_corpus_lm_perplexity expected output: (doc_id, n_grams,
+    nll_micronats) through the pure-Python twin of the distributed
+    trainer (same trigrams, counting, top-K tie-break, micro-nat
+    quantization)."""
+    from .operators.corpus_lm import corpus_lm_rows
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    rows = corpus_lm_rows(docs)
+    return _values_sql(
+        rows,
+        ["doc_id", "n_grams", "nll_micronats"],
+        ["BIGINT", "BIGINT", "BIGINT"],
+    )
+
+
+def jpeg_exif_scrub_sql(n: int = 300, seed: int = 42) -> str:
+    """Re-derive the jpeg_exif_scrub query end-to-end: same synth rows,
+    same deterministic EXIF/COM/GPS injection, same scrub_jpeg_row pure
+    function — the value hash checks marker walking, TIFF IFD parsing,
+    the PII stack on metadata text, GPS detection, and the md5 of the
+    losslessly stripped file."""
+    from .operators.image_metadata import (
+        inject_jpeg_fixture_metadata,
+        scrub_jpeg_row,
+    )
+
+    rows = []
+    for i, r in enumerate(_synth_rows(n, seed)):
+        data = inject_jpeg_fixture_metadata(bytes(r["bytes"]), i)
+        rows.append((r["image_id"], *scrub_jpeg_row(data)))
+    return _values_sql(
+        rows,
+        ["image_id", "is_jpeg", "meta_segments", "meta_fields", "meta_pii",
+         "meta_toxic", "has_gps", "bytes_removed", "clean_md5"],
+        ["VARCHAR", "BOOLEAN", "INTEGER", "INTEGER", "INTEGER", "INTEGER",
+         "BOOLEAN", "BIGINT", "VARCHAR"],
+    )
+
+
 def image_quality_sql(n: int = 400, seed: int = 42) -> str:
     from .operators.image_quality import image_quality_row
 
