@@ -1244,6 +1244,43 @@ def q_bpe_gpt2_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_html(d, text) -> F.Column:
+    """Deterministic HTML wrapping of a text column: title/style/script
+    head (whose text must NOT leak), nav boilerplate, the payload in a
+    <p>, entity-bearing and <br>-bearing variants, a comment, a footer.
+    The DuckDB oracle synthesizes the identical string with ||."""
+    return F.concat(
+        F.lit("<html><head><title>T"), d.cast("string"),
+        F.lit("</title><style>p{color:red}</style>"),
+        F.lit('<script>track("'), d.cast("string"), F.lit('")</script>'),
+        F.lit('</head><body><div id="nav"><ul><li>Home</li>'),
+        F.lit("<li>About</li></ul></div><h1>Post "), d.cast("string"),
+        F.lit("</h1><p>"), text, F.lit("</p>"),
+        F.when(d % 3 == 0, F.lit("<p>Contact &amp; info: a &lt; b</p>"))
+        .when(d % 3 == 1, F.lit("<br>extra&nbsp;line"))
+        .otherwise(F.lit("")),
+        F.lit('<!-- tracking --><div class="footer">&#39;fin&#39;'),
+        F.lit("</div></body></html>"),
+    )
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-text extraction (the trafilatura position, RefinedWeb
+    §3.1.2; C4 used exactly this tag-level core): script/style/comment
+    subtree removal, block-tag line boundaries, tag strip, entity
+    decode, whitespace normalization — ONE whole-stage-codegen
+    projection, zero Python, zero shuffles. The step chain is shared
+    data rendered identically into the DuckDB oracle
+    (operators/html_extract._STEPS)."""
+    from pii_filter_spark.operators.html_extract import html_extract
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pages = docs.select(
+        "doc_id", _synth_html(F.col("doc_id"), F.col("text")).alias("html")
+    )
+    return html_extract(pages)
+
+
 def q_corpus_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed LM TRAINING + scoring (CCNet trains its n-gram LM on
     a corpus, then scores with it; the seed-trained perplexity stage
@@ -1451,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_gpt2_counts": q_bpe_gpt2_counts,
         "jpeg_exif_scrub": q_jpeg_exif_scrub,
         "corpus_lm_perplexity": q_corpus_lm_perplexity,
+        "html_extract": q_html_extract,
         # -- block 3: r4-green, fewest prior green rounds ----------------
         "url_dedup": q_url_dedup,
         "ann_batch": q_ann_batch,
@@ -1586,6 +1624,40 @@ def _url_filter_oracle_sql() -> str:
     """
 
 
+def _html_extract_oracle_sql() -> str:
+    """DuckDB twin of q_html_extract: identical synthesized pages
+    (_synth_html's concat arms), identical step chain
+    (operators/html_extract.strip_html_sql)."""
+    from pii_filter_spark.operators.html_extract import strip_html_sql
+
+    text = strip_html_sql("html")
+    return f"""
+        WITH pages AS (
+          SELECT doc_id,
+                 '<html><head><title>T' || CAST(doc_id AS VARCHAR)
+                 || '</title><style>p{{color:red}}</style>'
+                 || '<script>track("' || CAST(doc_id AS VARCHAR)
+                 || '")</script>'
+                 || '</head><body><div id="nav"><ul><li>Home</li>'
+                 || '<li>About</li></ul></div><h1>Post '
+                 || CAST(doc_id AS VARCHAR)
+                 || '</h1><p>' || text || '</p>'
+                 || (CASE doc_id % 3
+                       WHEN 0 THEN '<p>Contact &amp; info: a &lt; b</p>'
+                       WHEN 1 THEN '<br>extra&nbsp;line'
+                       ELSE '' END)
+                 || '<!-- tracking --><div class="footer">&#39;fin&#39;'
+                 || '</div></body></html>' AS html
+          FROM documents
+        )
+        SELECT doc_id,
+               {text} AS text,
+               len(string_split({text}, chr(10))) AS n_lines,
+               length({text}) AS n_chars
+        FROM pages
+    """
+
+
 def _static_oracles(scrub_case, type_case, scrub_restored_case) -> dict[str, str]:
     return {
         "pii_scrub_captions": f"""
@@ -1701,6 +1773,7 @@ def _static_oracles(scrub_case, type_case, scrub_restored_case) -> dict[str, str
         """,
         "url_dedup": _url_dedup_oracle_sql(),
         "url_filter": _url_filter_oracle_sql(),
+        "html_extract": _html_extract_oracle_sql(),
         "dedup_window": """
             SELECT o_custkey, o_orderkey FROM (
               SELECT o_custkey, o_orderkey,
