@@ -46,6 +46,9 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--master", default=None,
                    help="override master (default: spark-submit's)")
+    p.add_argument("--scrub-image-bytes", action="store_true",
+                   help="also rewrite the binary column with PNG/JPEG "
+                        "metadata stripped (lossless; pixels untouched)")
     args = p.parse_args(argv)
     if not args.input and not args.synthetic:
         p.error("one of --input / --synthetic is required")
@@ -71,6 +74,7 @@ def main(argv=None) -> int:
             num_parts=args.num_parts,
             batch_parts=args.batch_parts,
             snapshot_id=args.snapshot_id,
+            scrub_image_bytes=args.scrub_image_bytes,
         )
         manifest = table_io.read_manifest(args.output)
         summary = {

@@ -27,6 +27,8 @@ from __future__ import annotations
 import time
 from typing import List, Optional
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -52,6 +54,33 @@ def transform(df: DataFrame) -> DataFrame:
     return fused_quality_scrub(df)
 
 
+def scrub_bytes_stage(df: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Optional image-bytes PII writeback stage (default OFF — the
+    flagship keeps bytes out of Python entirely): rewrites the binary
+    column with metadata stripped — PNG ancillary chunks
+    (images/metadata.strip_ancillary) or JPEG APP1/APP13/COM segments
+    (images/jpeg_metadata.strip_jpeg_metadata). Both strips are
+    marker/chunk-level rewrites, so decoded pixels are bit-identical by
+    construction; unknown formats pass through untouched. One Arrow
+    pandas UDF — bytes cross into Python once and never shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _clean(s: pd.Series) -> pd.Series:
+        from .images.jpeg_metadata import strip_jpeg_metadata
+        from .images.metadata import is_png, strip_ancillary
+
+        def one(x):
+            if x is None:
+                return None
+            b = bytes(x)
+            return strip_ancillary(b) if is_png(b) else strip_jpeg_metadata(b)
+
+        return pd.Series([one(x) for x in s])
+
+    return df.withColumn(bytes_col, _clean(F.col(bytes_col)))
+
+
 def run_pipeline(
     spark: SparkSession,
     input_path: str,
@@ -60,14 +89,18 @@ def run_pipeline(
     batch_parts: int = 8,
     fail_after_batch: Optional[int] = None,
     snapshot_id: str = "snap-0",
+    scrub_image_bytes: bool = False,
 ) -> List[int]:
     """Run (or resume) the pipeline. Returns the part_ids processed this run.
 
     fail_after_batch is a test hook: raise after N committed batches to
-    simulate a mid-run kill.
+    simulate a mid-run kill. scrub_image_bytes additionally rewrites the
+    binary column with PNG/JPEG metadata stripped (see scrub_bytes_stage).
     """
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     src = with_part_id(table_io.read_table(spark, input_path), num_parts)
+    if scrub_image_bytes:
+        src = scrub_bytes_stage(src)
 
     done = set(table_io.completed_part_ids(output_path))
     todo = [p for p in range(num_parts) if p not in done]

@@ -94,3 +94,68 @@ def test_image_features_stage(spark, io_paths):
         assert r["mean_r"] is not None
         assert len(r["thumb"]) == 64
         assert all(0 <= t <= 255 for t in r["thumb"])
+
+
+def test_scrub_image_bytes_writeback(spark, tmp_path_factory):
+    """Optional bytes-writeback stage: metadata-bearing PNG/JPEG inputs
+    come out with metadata stripped, decoded pixels bit-identical, and
+    the resume contract intact."""
+    from pii_filter_spark.images.jpeg_metadata import (
+        count_meta_segments,
+        extract_jpeg_text_metadata,
+        is_jpeg,
+    )
+    from pii_filter_spark.images.metadata import (
+        count_ancillary,
+        extract_text_metadata,
+        is_png,
+    )
+    from pii_filter_spark.operators.image_metadata import (
+        inject_fixture_metadata,
+        inject_jpeg_fixture_metadata,
+    )
+
+    root = tmp_path_factory.mktemp("pipe_bytes")
+    inp, out = str(root / "input"), str(root / "output")
+    write_input_table(spark, inp, 60, seed=SEED, num_partitions=4)
+
+    # plant metadata into BOTH containers, rewrite the input in place
+    src = table_io.read_table(spark, inp).collect()
+    import pandas as pd
+
+    pdf = pd.DataFrame([r.asDict() for r in src])
+    pdf["bytes"] = [
+        inject_jpeg_fixture_metadata(
+            inject_fixture_metadata(bytes(b), i), i
+        )
+        for i, b in enumerate(pdf["bytes"])
+    ]
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(inp)
+    planted = sum(
+        count_ancillary(bytes(b)) + count_meta_segments(bytes(b))
+        for b in pdf["bytes"]
+    )
+    assert planted > 0
+
+    run_pipeline(spark, inp, out, num_parts=8, batch_parts=4,
+                 scrub_image_bytes=True)
+
+    srcmap = {r["image_id"]: bytes(r["bytes"]) for _, r in pdf.iterrows()}
+    got = table_io.read_table(spark, out).select("image_id", "bytes").collect()
+    assert len(got) == 60
+    for r in got:
+        clean = bytes(r["bytes"])
+        orig = srcmap[r["image_id"]]
+        if is_png(clean):
+            assert count_ancillary(clean) == 0
+            assert extract_text_metadata(clean) == []
+            assert np.array_equal(decode_image(clean), decode_image(orig))
+        else:
+            assert is_jpeg(clean)
+            assert count_meta_segments(clean) == 0
+            assert extract_jpeg_text_metadata(clean) == []
+            assert np.array_equal(decode_image(clean), decode_image(orig))
+
+    # resume contract: a second run over the completed manifest is a no-op
+    assert run_pipeline(spark, inp, out, num_parts=8, batch_parts=4,
+                        scrub_image_bytes=True) == []

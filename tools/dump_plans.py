@@ -199,6 +199,50 @@ CASES = [
         "skew-safe two-phase min-id (groupBy (phash, salt) then phash, "
         "semi-join back).",
     ),
+    (
+        "url_filter",
+        "URL keep/drop rules: one WholeStageCodegen projection — host/"
+        "domain regexp_extract, blocklist isin, integer soft-word score, "
+        "reason CASE — zero Python nodes, zero exchanges. The DataFrame-"
+        "blocklist scale path swaps the isin for a BroadcastHashJoin on "
+        "the registered domain (asserted in tests).",
+    ),
+    (
+        "html_extract",
+        "HTML main-text extraction: the entire strip chain (script/"
+        "style/comment removal, block-tag newlines, tag strip, entity "
+        "decode, whitespace normalization) is ONE codegen projection — "
+        "zero Python, zero exchanges; at 10^12 rows this is a scan-"
+        "speed stage and the raw HTML column is pruned immediately "
+        "after.",
+    ),
+    (
+        "jpeg_exif_scrub",
+        "JPEG EXIF/COM PII scrub: the injection fixture plus the scrub "
+        "are the plan's only Python nodes; the scrub projects small "
+        "scalar facts, so the MB-scale bytes flow scan→Arrow "
+        "batch→dropped and never enter a shuffle. No decode: the strip "
+        "is a marker-level rewrite, pixel bit-identity is structural.",
+    ),
+    (
+        "corpus_lm_perplexity",
+        "Distributed LM training: phase-1 partials are per-batch-"
+        "combined in the mapInPandas (a partition emits at most "
+        "|charset|^3 rows however many docs it holds) feeding ONE "
+        "partial_sum HashAggregate + exchange on gram; the model pull "
+        "is top-K limit + 2 scalar aggregates (bounded driver rows); "
+        "the scoring pass is a second mapInPandas with the micro-nat "
+        "dict closure-broadcast — zero exchanges after the model "
+        "collect.",
+    ),
+    (
+        "bpe_gpt2_counts",
+        "Public-vocab BPE counts: one ArrowEvalPython pass (the "
+        "merges.txt table parsed once per worker from the closure-"
+        "captured wire-format string) into a map-side-combined "
+        "groupBy(source) — the same two-node shape as the frozen-vocab "
+        "twin, proving a released vocab drops in without plan change.",
+    ),
 ]
 
 
