@@ -568,6 +568,31 @@ def q_jpeg_exif_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_jpeg_metadata(injected)
 
 
+_RESIZE_BUCKETS: tuple = tuple(
+    (w // 16, h // 16)
+    for (w, h) in (
+        (512, 2048), (576, 1664), (704, 1408), (832, 1216), (1024, 1024),
+        (1216, 832), (1408, 704), (1664, 576), (2048, 512),
+    )
+)
+
+
+def q_image_resize_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export RESIZE (the step export_prep's bucket assignment
+    feeds): decode through the real codecs, exact area-average resample
+    to the SDXL-style aspect bucket (same integer micro-log argmin as
+    export_prep, ties to lowest index), re-encode through the real
+    ITU T.81 JPEG encoder — ONE mapInPandas pass, bytes never shuffle.
+    Bucket dims are the SDXL list at 1/16 scale (ratio-driven, and the
+    synthetic inputs are thumbnails). Fixture oracle re-derives bucket
+    dims, output length and md5 through the same pure function."""
+    from pii_filter_spark.operators.image_stage import resize_to_buckets
+    from pii_filter_spark.sources.synth import build_input_table
+
+    imgs = build_input_table(spark, 200, seed=42, num_partitions=8)
+    return resize_to_buckets(imgs, _RESIZE_BUCKETS)
+
+
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fan-out frame sampling over REAL MJPEG AVI bytes (video/avi.py,
     frames encoded by the real baseline JPEG codec): deterministic
@@ -1361,6 +1386,25 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
 
 
+def q_embedding_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 prototypicality (Tirumala et al. 2023): after SemDeDup, drop
+    each k-means cluster's most-prototypical points — near-copies of the
+    cluster center add no diversity. Same deterministic bounded-sample
+    IVF codebook as ann_ivf/semdedup; ONE Arrow pass scores
+    cosine-to-centroid per row (per-row gemv so the micro-rounding is
+    partition-invariant); one window flags the top 10% per cluster.
+    Integer micro-unit scores; fixture oracle is the pure twin."""
+    from pii_filter_spark.operators.prototypes import (
+        flag_prototypes,
+        prototypicality_scores,
+    )
+    from pii_filter_spark.operators.similarity import train_ivf_centroids
+
+    emb = _emb(spark, sf_dir)
+    cents = train_ivf_centroids(emb, k=8, iters=8)
+    return flag_prototypes(prototypicality_scores(emb, cents))
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN: deterministic k-means + nprobe probe."""
     from pii_filter_spark.operators.similarity import (
@@ -1489,6 +1533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_exif_scrub": q_jpeg_exif_scrub,
         "corpus_lm_perplexity": q_corpus_lm_perplexity,
         "html_extract": q_html_extract,
+        "image_resize_export": q_image_resize_export,
+        "embedding_prototypes": q_embedding_prototypes,
         # -- block 3: r4-green, fewest prior green rounds ----------------
         "url_dedup": q_url_dedup,
         "ann_batch": q_ann_batch,
@@ -2170,6 +2216,8 @@ def _fixture_oracles() -> dict[str, str]:
         ("image_metadata_scrub", lambda sf: osup.image_metadata_sql()),
         ("jpeg_exif_scrub", lambda sf: osup.jpeg_exif_scrub_sql()),
         ("corpus_lm_perplexity", osup.corpus_lm_sql),
+        ("image_resize_export", lambda sf: osup.image_resize_sql()),
+        ("embedding_prototypes", osup.embedding_prototypes_sql),
         ("image_quality_filter", lambda sf: osup.image_quality_sql()),
         ("export_prep", lambda sf: osup.export_prep_sql()),
         ("video_frame_sample", lambda sf: osup.video_frame_sample_sql()),

@@ -56,17 +56,37 @@ def _interp_rows(cs: np.ndarray, edges: np.ndarray, axis: int) -> np.ndarray:
     return a * (1.0 - f) + b * f
 
 
-def area_resize(gray: np.ndarray, n: int = _N) -> np.ndarray:
-    """Exact area-average resample to n x n (fractional box filter)."""
-    h, w = gray.shape
+def area_resize_hw(chan: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Exact area-average resample of one channel to (out_h, out_w) —
+    fractional box filter via the integral image; works for down- AND
+    up-sampling (an output box covering a fraction of one input pixel
+    averages to that pixel's value)."""
+    h, w = chan.shape
     cs = np.zeros((h + 1, w + 1), dtype=np.float64)
-    cs[1:, 1:] = gray.astype(np.float64).cumsum(0).cumsum(1)
-    ye = np.linspace(0.0, float(h), n + 1)
-    xe = np.linspace(0.0, float(w), n + 1)
+    cs[1:, 1:] = chan.astype(np.float64).cumsum(0).cumsum(1)
+    ye = np.linspace(0.0, float(h), out_h + 1)
+    xe = np.linspace(0.0, float(w), out_w + 1)
     t = _interp_rows(cs, ye, 0)
     t = _interp_rows(t, xe, 1)
     area = np.outer(np.diff(ye), np.diff(xe))
     return (t[1:, 1:] - t[:-1, 1:] - t[1:, :-1] + t[:-1, :-1]) / area
+
+
+def area_resize(gray: np.ndarray, n: int = _N) -> np.ndarray:
+    """Exact area-average resample to n x n (fractional box filter)."""
+    return area_resize_hw(gray, n, n)
+
+
+def area_resize_rgb(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """uint8 HxWx3 (or HxW) -> uint8 out_h x out_w x 3, per-channel exact
+    area average, np.rint half-to-even rounding (deterministic)."""
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=2)
+    out = np.stack(
+        [area_resize_hw(img[:, :, c], out_h, out_w) for c in range(3)],
+        axis=2,
+    )
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
 def phash64(pixels: np.ndarray) -> int:

@@ -246,3 +246,71 @@ def reencode_variants(
     return df.select(id_col, bytes_col).mapInPandas(
         _re, schema=f"{id_col} string, {bytes_col} binary"
     )
+
+
+def resize_export_row(
+    data: bytes, buckets: tuple, quality: int
+) -> tuple:
+    """Pure per-image export resize: decode -> pick the aspect bucket
+    minimizing |log(w/h) - log(bw/bh)| in integer micro-log units
+    (EXACTLY export_prep's Catalyst argmin, ties to the lowest index) ->
+    exact area-average resample to (bh, bw) -> re-encode through the
+    real baseline-JPEG codec. Returns (bucket_w, bucket_h, out_len,
+    out_md5, out_bytes). Shared by the Spark stage and the fixture
+    oracle."""
+    import hashlib
+
+    from ..images.jpeg_codec import encode_jpeg
+    from ..images.phash import area_resize_rgb
+    from .export_prep import _log_aspect_micro
+
+    px = decode_image(bytes(data))
+    h, w = px.shape[0], px.shape[1]
+    la = _log_aspect_micro(float(w), float(h))
+    best = min(
+        range(len(buckets)),
+        key=lambda i: (abs(la - _log_aspect_micro(*map(float, buckets[i]))), i),
+    )
+    bw, bh = buckets[best]
+    out = area_resize_rgb(px, bh, bw)
+    jb = encode_jpeg(out, quality=quality)
+    return bw, bh, len(jb), hashlib.md5(jb).hexdigest(), jb
+
+
+def resize_to_buckets(
+    df: DataFrame,
+    buckets: tuple,
+    quality: int = LOSSY_QUALITY,
+    with_bytes: bool = False,
+    id_col: str = "image_id",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Training-export resize: every image decoded, area-resampled to its
+    SDXL-style aspect bucket, re-encoded as baseline JPEG — ONE
+    mapInPandas pass, bytes never shuffle. with_bytes=True emits the
+    re-encoded bytes for a writeback job; default emits scalar facts
+    (len + md5) so the driver query stays cheap to hash-check."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in zip(pdf[id_col], pdf[bytes_col]):
+                bw, bh, n, md5, jb = resize_export_row(
+                    rec[1], buckets, quality
+                )
+                row = [rec[0], bw, bh, n, md5]
+                if with_bytes:
+                    row.append(jb)
+                rows.append(tuple(row))
+            cols = [id_col, "bucket_w", "bucket_h", "out_len", "out_md5"]
+            if with_bytes:
+                cols.append("out_bytes")
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = (
+        f"{id_col} string, bucket_w int, bucket_h int, "
+        "out_len long, out_md5 string"
+    )
+    if with_bytes:
+        schema += ", out_bytes binary"
+    return df.select(id_col, bytes_col).mapInPandas(_resize, schema=schema)

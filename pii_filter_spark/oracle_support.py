@@ -186,6 +186,42 @@ def ann_lsh_sql(sf_dir: str, k: int = 10, planes: int = 16, max_flip: int = 6,
     return _values_sql(rows, ["vec_id", "cos_sim"], ["BIGINT", "DOUBLE"])
 
 
+def _twin_centroids(sf_dir: str, kc: int = 8, iters: int = 8):
+    """train_ivf_centroids' exact math on the same vec_id-ordered
+    sample (numpy only, same seed path). Returns (centroids, [(id,
+    vector), ...])."""
+    emb = _read_embeddings(sf_dir)
+    ids = np.array([r[0] for r in emb], dtype=np.int64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in emb])
+    x = mat[np.argsort(ids, kind="stable")][:2048]
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.default_rng(17)
+    cent = x[rng.choice(len(x), size=min(kc, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / (np.linalg.norm(m) or 1.0)
+    return cent, [(int(i), v) for i, v in zip(ids, mat)]
+
+
+def embedding_prototypes_sql(sf_dir: str) -> str:
+    """q_embedding_prototypes expected output via the pure twin
+    (operators/prototypes.prototypicality_rows) on the twin-trained
+    codebook."""
+    from .operators.prototypes import prototypicality_rows
+
+    cent, vecs = _twin_centroids(sf_dir)
+    rows = prototypicality_rows(vecs, cent, drop_frac=0.1)
+    return _values_sql(
+        rows,
+        ["vec_id", "ivf_cluster", "proto_micro", "is_prototype"],
+        ["BIGINT", "BIGINT", "BIGINT", "BOOLEAN"],
+    )
+
+
 def ann_ivf_sql(sf_dir: str, k: int = 10, kc: int = 8, iters: int = 8,
                 nprobe: int = 4) -> str:
     # train_ivf_centroids takes a Spark df; replicate its exact math on
@@ -571,6 +607,28 @@ def image_verify_sql(n: int = 300, seed: int = 42) -> str:
     return _values_sql(
         rows, ["image_id", "decode_ok", "dims_ok", "px_mean", "psnr_ok"],
         ["VARCHAR", "BOOLEAN", "BOOLEAN", "DOUBLE", "BOOLEAN"],
+    )
+
+
+def image_resize_sql(n: int = 200, seed: int = 42) -> str:
+    """q_image_resize_export expected output: bucket dims + re-encoded
+    length/md5 through the same pure resize_export_row (decode -> exact
+    area resample -> real JPEG encode)."""
+    from .operators.image_stage import resize_export_row
+    from .sources.synth import LOSSY_QUALITY
+
+    from __spark_entry__ import _RESIZE_BUCKETS
+
+    rows = []
+    for r in _synth_rows(n, seed):
+        bw, bh, ln, md5, _ = resize_export_row(
+            bytes(r["bytes"]), _RESIZE_BUCKETS, LOSSY_QUALITY
+        )
+        rows.append((r["image_id"], bw, bh, ln, md5))
+    return _values_sql(
+        rows,
+        ["image_id", "bucket_w", "bucket_h", "out_len", "out_md5"],
+        ["VARCHAR", "INTEGER", "INTEGER", "BIGINT", "VARCHAR"],
     )
 
 

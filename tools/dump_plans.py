@@ -236,6 +236,22 @@ CASES = [
         "collect.",
     ),
     (
+        "image_resize_export",
+        "Export resize: ONE mapInPandas straight off the source (decode "
+        "→ exact area resample to the aspect bucket → real JPEG "
+        "re-encode); bytes enter exactly one Python stage and never "
+        "shuffle; the output projects scalar facts (len+md5) unless the "
+        "with_bytes writeback variant is asked for.",
+    ),
+    (
+        "embedding_prototypes",
+        "D4 prototypicality: one Arrow scoring pass (per-row gemv "
+        "against the broadcast codebook — partition-invariant micro "
+        "rounding), then a single window shuffle on ivf_cluster for the "
+        "top-frac flag; k-means clusters are size-balanced, so no skew "
+        "treatment needed.",
+    ),
+    (
         "bpe_gpt2_counts",
         "Public-vocab BPE counts: one ArrowEvalPython pass (the "
         "merges.txt table parsed once per worker from the closure-"
