@@ -1323,6 +1323,22 @@ def q_corpus_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_lm_scores(docs)
 
 
+def q_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore-Lewis cross-entropy-difference data selection (Moore &
+    Lewis 2010 — the classic in-domain selection method; DSIR is its
+    descendant): two trigram LMs (src0 slice vs full corpus) trained by
+    the distributed bounded-partials pipeline, one Arrow pass scores
+    both integer micro-nat NLLs, delta = nll_in - nll_gen exact,
+    per-gram average via ONE IEEE divide + HALF_UP (identical in both
+    engines). Oracle: pure twin."""
+    from pii_filter_spark.operators.corpus_lm import moore_lewis_scores
+
+    docs = _par(spark, _docs(spark, sf_dir)).select(
+        "doc_id", "source", "text"
+    )
+    return moore_lewis_scores(docs, F.col("source") == "src0")
+
+
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pii_filter_spark.operators.dedup import simhash_near_pairs
 
@@ -1535,6 +1551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_extract": q_html_extract,
         "image_resize_export": q_image_resize_export,
         "embedding_prototypes": q_embedding_prototypes,
+        "moore_lewis": q_moore_lewis,
         # -- block 3: r4-green, fewest prior green rounds ----------------
         "url_dedup": q_url_dedup,
         "ann_batch": q_ann_batch,
@@ -2218,6 +2235,7 @@ def _fixture_oracles() -> dict[str, str]:
         ("corpus_lm_perplexity", osup.corpus_lm_sql),
         ("image_resize_export", lambda sf: osup.image_resize_sql()),
         ("embedding_prototypes", osup.embedding_prototypes_sql),
+        ("moore_lewis", osup.moore_lewis_sql),
         ("image_quality_filter", lambda sf: osup.image_quality_sql()),
         ("export_prep", lambda sf: osup.export_prep_sql()),
         ("video_frame_sample", lambda sf: osup.video_frame_sample_sql()),

@@ -156,3 +156,93 @@ def corpus_lm_rows(
         gs = trigrams(t or "")
         out.append((i, len(gs), sum(table.get(g, oov) for g in gs)))
     return out
+
+
+def moore_lewis_scores(
+    docs: DataFrame,
+    in_domain,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 4096,
+) -> DataFrame:
+    """Moore-Lewis cross-entropy-difference selection (Moore & Lewis
+    2010, "Intelligent Selection of Language Model Training Data"): rank
+    general-corpus docs by H_in(doc) - H_gen(doc) — low means "reads
+    like the in-domain slice but not like the general corpus". The
+    CLASSIC in-domain selection method; DSIR (operators/dsir.py) is its
+    hashed-importance-weights descendant, this is the LM-based original.
+
+    Built from the distributed trainer: TWO trigram LMs (in-domain
+    slice, full corpus) trained by the same bounded-partials pipeline,
+    then ONE scoring Arrow pass computes both integer micro-nat NLLs
+    simultaneously. Output (id, n_grams, delta_micronats,
+    avg_delta_micro): delta = nll_in - nll_gen exactly;
+    avg_delta_micro = HALF_UP(delta / n_grams) — one IEEE divide of two
+    exact integers, identical in both engines, HALF_UP matching
+    F.round(double). Rank ascending for most-in-domain."""
+    counts_in = trigram_counts(docs.where(in_domain), text_col)
+    counts_gen = trigram_counts(docs, text_col)
+    t_in, oov_in = train_micronat_table(counts_in, top_k)
+    t_gen, oov_gen = train_micronat_table(counts_gen, top_k)
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ngs, deltas = [], [], []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                gs = trigrams(t if isinstance(t, str) else "")
+                nll_in = sum(t_in.get(g, oov_in) for g in gs)
+                nll_gen = sum(t_gen.get(g, oov_gen) for g in gs)
+                ids.append(i)
+                ngs.append(len(gs))
+                deltas.append(nll_in - nll_gen)
+            yield pd.DataFrame(
+                {"id": ids, "n_grams": ngs, "delta_micronats": deltas}
+            )
+
+    dtype = dict(docs.dtypes)[id_col]
+    out = docs.select(id_col, text_col).mapInPandas(
+        _score,
+        schema=f"id {dtype}, n_grams long, delta_micronats long",
+    ).withColumnRenamed("id", id_col)
+    avg = F.when(
+        F.col("n_grams") > 0,
+        F.round(F.col("delta_micronats") / F.col("n_grams")).cast("long"),
+    )
+    return out.select(
+        id_col, "n_grams", "delta_micronats", avg.alias("avg_delta_micro")
+    )
+
+
+def moore_lewis_rows(
+    texts: list,
+    in_domain_ids: set,
+    top_k: int = 4096,
+) -> list:
+    """Pure twin of moore_lewis_scores. texts = [(id, text), ...]."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def table_for(subset):
+        c: Counter = Counter()
+        for _, t in subset:
+            c.update(trigrams(t or ""))
+        total, v = sum(c.values()), len(c)
+        denom = total + v + 1
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        tb = {g: round(-math.log((n + 1) / denom) * MICRO) for g, n in top}
+        return tb, round(-math.log(1 / denom) * MICRO)
+
+    t_in, oov_in = table_for([r for r in texts if r[0] in in_domain_ids])
+    t_gen, oov_gen = table_for(texts)
+    out = []
+    for i, t in texts:
+        gs = trigrams(t or "")
+        d = sum(t_in.get(g, oov_in) for g in gs) - sum(
+            t_gen.get(g, oov_gen) for g in gs
+        )
+        avg = (
+            int(Decimal(repr(d / len(gs))).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP))
+            if gs else None
+        )
+        out.append((i, len(gs), d, avg))
+    return out

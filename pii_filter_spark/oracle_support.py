@@ -715,6 +715,28 @@ def corpus_lm_sql(sf_dir: str) -> str:
     )
 
 
+def moore_lewis_sql(sf_dir: str) -> str:
+    """q_moore_lewis expected output via the pure twin
+    (operators/corpus_lm.moore_lewis_rows), src0 as the in-domain
+    slice."""
+    from .operators.corpus_lm import moore_lewis_rows
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, source, text "
+        f"FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    texts = [(d, t) for d, _, t in docs]
+    in_ids = {d for d, s, _ in docs if s == "src0"}
+    rows = moore_lewis_rows(texts, in_ids)
+    return _values_sql(
+        rows,
+        ["doc_id", "n_grams", "delta_micronats", "avg_delta_micro"],
+        ["BIGINT", "BIGINT", "BIGINT", "BIGINT"],
+    )
+
+
 def jpeg_exif_scrub_sql(n: int = 300, seed: int = 42) -> str:
     """Re-derive the jpeg_exif_scrub query end-to-end: same synth rows,
     same deterministic EXIF/COM/GPS injection, same scrub_jpeg_row pure

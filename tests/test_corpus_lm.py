@@ -76,3 +76,37 @@ def test_trigram_extraction_shape():
     gs = trigrams("abc")
     assert len(gs) == 3                   # one gram per normalized char
     assert gs[0] == "\x02\x02a"
+
+
+def test_moore_lewis_matches_twin_and_ranks_in_domain_first(spark):
+    from pii_filter_spark.operators.corpus_lm import (
+        moore_lewis_rows,
+        moore_lewis_scores,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "in", "o gato subiu no telhado da casa amarela"),
+        (1, "in", "a casa amarela tem um gato no telhado alto"),
+        (2, "in", "o telhado da casa guarda o gato amarelo"),
+        (3, "out", "quarterly revenue projections for the fiscal year"),
+        (4, "out", "shipping manifest container port rotterdam"),
+        (5, "out", "o gato no telhado da casa"),   # reads in-domain
+        (6, "out", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = sorted(
+        (r["doc_id"], r["n_grams"], r["delta_micronats"],
+         r["avg_delta_micro"])
+        for r in moore_lewis_scores(df, F.col("source") == "in").collect()
+    )
+    exp = sorted(moore_lewis_rows(
+        [(i, t) for i, _, t in rows], {i for i, s, _ in rows if s == "in"}
+    ))
+    assert got == exp
+    per_doc = {r[0]: r for r in got}
+    # the in-domain-looking outsider must outrank the true outsiders
+    assert per_doc[5][3] < per_doc[3][3]
+    assert per_doc[5][3] < per_doc[4][3]
+    # empty doc: no grams, delta 0, avg NULL
+    assert per_doc[6][1] == 0 and per_doc[6][3] is None

@@ -252,6 +252,15 @@ CASES = [
         "treatment needed.",
     ),
     (
+        "moore_lewis",
+        "Moore-Lewis selection: both LM trainings happen at plan "
+        "CONSTRUCTION (bounded-partials counting, the visible plan is "
+        "only the scoring pass) — one mapInPandas with two closure-"
+        "broadcast micro-nat tables, then a codegen projection for the "
+        "HALF_UP per-gram average; zero exchanges after the model "
+        "collects.",
+    ),
+    (
         "bpe_gpt2_counts",
         "Public-vocab BPE counts: one ArrowEvalPython pass (the "
         "merges.txt table parsed once per worker from the closure-"
