@@ -1289,6 +1289,22 @@ def _synth_html(d, text) -> F.Column:
     )
 
 
+def synth_page_py(doc_id: int, text: str) -> str:
+    """Pure-Python twin of _synth_html (same concat arms, byte-for-byte)
+    — used by the refinedweb_pipeline fixture oracle and pinned equal to
+    the Spark column by a unit test."""
+    extra = {0: "<p>Contact &amp; info: a &lt; b</p>", 1: "<br>extra&nbsp;line"}
+    return (
+        f"<html><head><title>T{doc_id}</title><style>p{{color:red}}</style>"
+        f'<script>track("{doc_id}")</script>'
+        '</head><body><div id="nav"><ul><li>Home</li>'
+        f"<li>About</li></ul></div><h1>Post {doc_id}</h1><p>{text}</p>"
+        f"{extra.get(doc_id % 3, '')}"
+        '<!-- tracking --><div class="footer">&#39;fin&#39;'
+        "</div></body></html>"
+    )
+
+
 def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML main-text extraction (the trafilatura position, RefinedWeb
     §3.1.2; C4 used exactly this tag-level core): script/style/comment
@@ -1321,6 +1337,140 @@ def q_corpus_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _par(spark, _docs(spark, sf_dir)).select("doc_id", "text")
     return corpus_lm_scores(docs)
+
+
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/WET ingestion (web-pipeline stage 0 — the Common Crawl
+    container CCNet/RefinedWeb start from, ISO 28500): documents are
+    bundled into 25-record archive shards (alternating WET `conversion`
+    records and HTTP-wrapped `response` records; every other shard uses
+    the per-record-gzip-member .warc.gz layout that makes the format
+    splittable), then parsed back by the one-Arrow-pass stage
+    (operators/warc_ingest). The oracle is PLAIN SQL — the expected rows
+    are the source rows, so the round trip itself is the assertion."""
+    from pii_filter_spark.operators.warc_ingest import parse_warc_archives
+    from pii_filter_spark.sources.warc import build_warc, http_response_block
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text").withColumn(
+        "archive_num", F.floor(F.col("doc_id") / 25)
+    )
+
+    def _build(key, pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        recs = []
+        for d, t in zip(pdf["doc_id"], pdf["text"]):
+            body = (t or "").encode("utf-8")
+            url = f"https://example.com/doc/{d}"
+            if d % 2 == 0:
+                recs.append(("conversion", url, body, f"rec-{d}"))
+            else:
+                recs.append(
+                    ("response", url, http_response_block(body), f"rec-{d}")
+                )
+        blob = build_warc(recs, gzip_members=bool(int(key[0]) % 2))
+        return pd.DataFrame(
+            {"archive_id": [f"arc-{int(key[0])}"], "data": [blob]}
+        )
+
+    archives = docs.groupBy("archive_num").applyInPandas(
+        _build, "archive_id string, data binary"
+    )
+    return parse_warc_archives(archives)
+
+
+# Java's \s is ASCII-only; spelled out so the Spark split, the DuckDB
+# twin and the pure-Python twin tokenize IDENTICALLY (python \s would
+# also match unicode spaces).
+_ASCII_WS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
+def q_refinedweb_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL RefinedWeb chain end-to-end through this engine (Penedo
+    et al. 2023 fig. 2): WARC shards (stage 0) → record explode → HTML
+    main-text extraction → line-wise cleaning → language-ID → heuristic
+    quality keep → exact dedup survivor. Every stage is the same
+    operator its standalone query verifies; this composite proves they
+    COMPOSE — the doc key is even recovered from the crawl URL the way
+    a real pipeline must. Oracle: the html-strip hop re-derived through
+    the proven-parity DuckDB chain, every later hop through the pure
+    twins."""
+    from pii_filter_spark.operators.html_extract import strip_html
+    from pii_filter_spark.operators.line_clean import line_clean
+    from pii_filter_spark.operators.textstats import language_id
+    from pii_filter_spark.operators.warc_ingest import parse_warc_archives
+    from pii_filter_spark.sources.warc import build_warc, http_response_block
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pages = docs.select(
+        "doc_id",
+        _synth_html(F.col("doc_id"), F.col("text")).alias("html"),
+    ).withColumn("archive_num", F.floor(F.col("doc_id") / 25))
+
+    def _build(key, pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        recs = []
+        for d, h in zip(pdf["doc_id"], pdf["html"]):
+            body = (h or "").encode("utf-8")
+            url = f"https://example.com/doc/{d}"
+            if d % 2 == 0:
+                recs.append(("conversion", url, body, f"rec-{d}"))
+            else:
+                recs.append(
+                    ("response", url, http_response_block(body), f"rec-{d}")
+                )
+        blob = build_warc(recs, gzip_members=bool(int(key[0]) % 2))
+        return pd.DataFrame(
+            {"archive_id": [f"arc-{int(key[0])}"], "data": [blob]}
+        )
+
+    archives = pages.groupBy("archive_num").applyInPandas(
+        _build, "archive_id string, data binary"
+    )
+    records = parse_warc_archives(archives)
+    extracted = records.select(
+        F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+        strip_html(F.col("text")).alias("text"),
+    )
+    cleaned = line_clean(extracted).select(
+        "doc_id", "n_lines", "doc_keep", "text_clean"
+    )
+    lang = language_id(cleaned, text_col="text_clean").withColumnRenamed(
+        "lang_detected", "lang"
+    )
+    scored = cleaned.join(lang, "doc_id").select(
+        "doc_id",
+        "n_lines",
+        "doc_keep",
+        "lang",
+        F.size(F.split(F.trim("text_clean"), _ASCII_WS)).alias("wc"),
+        F.length("text_clean").alias("n_chars_clean"),
+        F.md5("text_clean").alias("fp"),
+    )
+    keep = (
+        F.col("doc_keep")
+        & (F.col("wc") >= 3)
+        & (F.col("wc") <= 256)
+        & (F.col("lang") != "und")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp")
+    out = scored.withColumn("keep", keep).withColumn(
+        "is_survivor",
+        F.col("keep")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("keep"), F.col("doc_id"))).over(w)
+        ),
+    )
+    return out.select(
+        "doc_id", "lang", "n_lines", "doc_keep", "wc", "n_chars_clean",
+        "keep", "is_survivor",
+    )
 
 
 def q_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1552,6 +1702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize_export": q_image_resize_export,
         "embedding_prototypes": q_embedding_prototypes,
         "moore_lewis": q_moore_lewis,
+        "warc_ingest": q_warc_ingest,
+        "refinedweb_pipeline": q_refinedweb_pipeline,
         # -- block 3: r4-green, fewest prior green rounds ----------------
         "url_dedup": q_url_dedup,
         "ann_batch": q_ann_batch,
@@ -1836,6 +1988,19 @@ def _static_oracles(scrub_case, type_case, scrub_restored_case) -> dict[str, str
         """,
         "url_dedup": _url_dedup_oracle_sql(),
         "url_filter": _url_filter_oracle_sql(),
+        "warc_ingest": """
+            SELECT 'arc-' || CAST(CAST(floor(doc_id / 25) AS BIGINT) AS VARCHAR)
+                       AS archive_id,
+                   CAST(row_number() OVER (PARTITION BY floor(doc_id / 25)
+                                           ORDER BY doc_id) - 1 AS INT)
+                       AS rec_idx,
+                   CASE WHEN doc_id % 2 = 0 THEN 'conversion'
+                        ELSE 'response' END AS warc_type,
+                   'https://example.com/doc/' || CAST(doc_id AS VARCHAR)
+                       AS url,
+                   text
+            FROM documents
+        """,
         "html_extract": _html_extract_oracle_sql(),
         "dedup_window": """
             SELECT o_custkey, o_orderkey FROM (
@@ -2236,6 +2401,7 @@ def _fixture_oracles() -> dict[str, str]:
         ("image_resize_export", lambda sf: osup.image_resize_sql()),
         ("embedding_prototypes", osup.embedding_prototypes_sql),
         ("moore_lewis", osup.moore_lewis_sql),
+        ("refinedweb_pipeline", osup.refinedweb_sql),
         ("image_quality_filter", lambda sf: osup.image_quality_sql()),
         ("export_prep", lambda sf: osup.export_prep_sql()),
         ("video_frame_sample", lambda sf: osup.video_frame_sample_sql()),

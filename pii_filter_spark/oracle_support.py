@@ -715,6 +715,65 @@ def corpus_lm_sql(sf_dir: str) -> str:
     )
 
 
+def refinedweb_sql(sf_dir: str) -> str:
+    """q_refinedweb_pipeline expected output. The html hop is
+    re-derived through the DuckDB strip chain (the proven-parity path —
+    python `re` has unicode-\\s semantics Java/RE2 lack, so the SQL
+    renderer is the safe twin); every later hop runs the pure Python
+    twins (line_clean_rows, detect_language, ASCII word split, md5,
+    min-id survivor among keeps)."""
+    import hashlib
+    import re as _re
+
+    from __spark_entry__ import synth_page_py
+
+    from .core.langid import detect_language
+    from .operators.html_extract import strip_html_sql
+    from .operators.line_clean import line_clean_rows
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "ORDER BY doc_id"
+    ).fetchall()
+    con.execute("CREATE TABLE pages (doc_id BIGINT, html VARCHAR)")
+    con.executemany(
+        "INSERT INTO pages VALUES (?, ?)",
+        [(d, synth_page_py(d, t or "")) for d, t in docs],
+    )
+    extracted = con.execute(
+        f"SELECT doc_id, {strip_html_sql('html')} FROM pages ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+
+    cleaned = line_clean_rows(extracted)
+    ws = _re.compile(r"[ \t\n\x0B\f\r]+")
+    rows = []
+    for d, n_lines, _, _, doc_keep, text_clean in cleaned:
+        lang = detect_language(text_clean)
+        wc = len(ws.split(text_clean.strip()))
+        fp = hashlib.md5(text_clean.encode("utf-8")).hexdigest()
+        keep = bool(doc_keep and 3 <= wc <= 256 and lang != "und")
+        rows.append([d, lang, n_lines, doc_keep, wc, len(text_clean),
+                     keep, fp])
+    min_keep: dict = {}
+    for r in rows:
+        if r[6]:
+            min_keep[r[7]] = min(min_keep.get(r[7], r[0]), r[0])
+    out = [
+        (r[0], r[1], r[2], r[3], r[4], r[5], r[6],
+         bool(r[6] and min_keep.get(r[7]) == r[0]))
+        for r in rows
+    ]
+    return _values_sql(
+        out,
+        ["doc_id", "lang", "n_lines", "doc_keep", "wc", "n_chars_clean",
+         "keep", "is_survivor"],
+        ["BIGINT", "VARCHAR", "INTEGER", "BOOLEAN", "INTEGER", "INTEGER",
+         "BOOLEAN", "BOOLEAN"],
+    )
+
+
 def moore_lewis_sql(sf_dir: str) -> str:
     """q_moore_lewis expected output via the pure twin
     (operators/corpus_lm.moore_lewis_rows), src0 as the in-domain

@@ -76,3 +76,24 @@ def test_plan_is_one_codegen_projection(spark):
     assert "Exchange" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_synth_page_py_matches_spark_column(spark):
+    """The refinedweb_pipeline fixture builds pages with the pure-Python
+    twin; it must equal the Spark column byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as em
+
+    rows = [(0, "plain"), (1, "a & b"), (2, "café 快速"), (3, ""),
+            (4, "multi word text"), (5, "x" * 40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["html"]
+        for r in df.select(
+            "doc_id",
+            em._synth_html(F.col("doc_id"), F.col("text")).alias("html"),
+        ).collect()
+    }
+    for d, t in rows:
+        assert got[d] == em.synth_page_py(d, t), d

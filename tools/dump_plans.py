@@ -261,6 +261,23 @@ CASES = [
         "collects.",
     ),
     (
+        "warc_ingest",
+        "WARC/WET stage 0: archive shards explode to records in ONE "
+        "mapInPandas (the synthesis applyInPandas group shuffle belongs "
+        "to the fixture, not the operator — production reads shard "
+        "blobs straight off the object store); per-task memory bounded "
+        "by one shard, nothing shuffles after the scan.",
+    ),
+    (
+        "refinedweb_pipeline",
+        "Full RefinedWeb chain composed: after the fixture's archive "
+        "build, the curation path is record-explode mapInPandas → "
+        "html-strip codegen projection → line_clean projection → ONE "
+        "langid Arrow stage → the fp window (single shuffle) for the "
+        "dedup survivor. Stage composition adds no extra exchanges over "
+        "the standalone operators.",
+    ),
+    (
         "bpe_gpt2_counts",
         "Public-vocab BPE counts: one ArrowEvalPython pass (the "
         "merges.txt table parsed once per worker from the closure-"
