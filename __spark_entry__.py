@@ -656,6 +656,98 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs — middle-frame pHash as the clip key (a
+    re-encoded/re-hosted copy keeps its middle frame perceptually
+    identical): REAL MJPEG AVI decode → images/phash on the middle
+    frame → the SAME banded hamming operator (chunks=8, exact recall to
+    hamming<=7). With this, ONE pairing implementation serves text
+    simhash, image pHash, audio fingerprints and video. Planted q70
+    re-encodes of every 4th clip land at 0-6 bits (textured synth
+    clips; pure gradients would make pHash degenerate), unrelated clips
+    ~29. Fixture oracle re-derives the full chain."""
+    from pii_filter_spark.operators.dedup import hamming_near_pairs
+    from pii_filter_spark.operators.image_stage import (
+        video_middle_frame_phash,
+    )
+
+    def _gen(batches):
+        import pandas as pd
+
+        from pii_filter_spark.video.avi import encode_avi_mjpeg, synth_clip
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                frames = synth_clip(i)
+                rows.append(
+                    (f"vid_{i:06d}", encode_avi_mjpeg(frames, fps=10,
+                                                      quality=90))
+                )
+                if i % 4 == 0:
+                    rows.append(
+                        (f"vid_{i:06d}_re",
+                         encode_avi_mjpeg(frames, fps=10, quality=70))
+                    )
+            yield pd.DataFrame(rows, columns=["video_id", "bytes"])
+
+    vids = (
+        spark.range(100)
+        .repartition(8)
+        .mapInPandas(_gen, schema="video_id string, bytes binary")
+    )
+    fps = video_middle_frame_phash(vids)
+    return hamming_near_pairs(
+        fps, "mid_phash", "video_id", max_hamming=7, chunks=8
+    )
+
+
+def q_audio_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup pairs — the modality the banded hamming operator
+    had not covered yet: REAL WAV bytes → 64-bit Haitsma-Kalker
+    fingerprint (9 frames x 9 log bands, sign of the time-frequency
+    energy-difference grid — gain/tilt invariant) → the SAME
+    hamming_near_pairs that serves text simhash and image pHash, at
+    chunks=8 for exact recall to hamming<=7. Planted noisy gain-scaled
+    re-encodes of every 5th clip land within a few bits (measured 1-6),
+    unrelated clips ~32. Fixture oracle re-derives every fingerprint
+    and the 8-chunk bucket pairing."""
+    from pii_filter_spark.operators.audio_stage import audio_fingerprints
+    from pii_filter_spark.operators.dedup import hamming_near_pairs
+
+    def _gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from pii_filter_spark.audio.wav import encode_wav, synth_tone
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                x = synth_tone(i)
+                rows.append((f"aud_{i:06d}", encode_wav(x)))
+                if i % 5 == 0:
+                    rng = np.random.default_rng((77, i))
+                    noisy = np.clip(
+                        0.95 * x + 0.01 * rng.standard_normal(len(x)),
+                        -1.0, 1.0,
+                    )
+                    rows.append((f"aud_{i:06d}_re", encode_wav(noisy)))
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes"])
+
+    auds = (
+        spark.range(200)
+        .repartition(8)
+        .mapInPandas(_gen, schema="audio_id string, bytes binary")
+    )
+    fps = audio_fingerprints(auds)
+    return hamming_near_pairs(
+        fps, "fp64", "audio_id", max_hamming=7, chunks=8
+    )
+
+
 def q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe dedup by perceptual hash on the synthetic image table —
     the north-rule dedup-by-phash path with a deliberately hot-keyed
@@ -1398,7 +1490,7 @@ def q_refinedweb_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     twins."""
     from pii_filter_spark.operators.html_extract import strip_html
     from pii_filter_spark.operators.line_clean import line_clean
-    from pii_filter_spark.operators.textstats import language_id
+    from pii_filter_spark.operators.textstats import language_id_col
     from pii_filter_spark.operators.warc_ingest import parse_warc_archives
     from pii_filter_spark.sources.warc import build_warc, http_response_block
 
@@ -1438,14 +1530,13 @@ def q_refinedweb_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned = line_clean(extracted).select(
         "doc_id", "n_lines", "doc_keep", "text_clean"
     )
-    lang = language_id(cleaned, text_col="text_clean").withColumnRenamed(
-        "lang_detected", "lang"
-    )
-    scored = cleaned.join(lang, "doc_id").select(
+    # lang as an in-place column (language_id_col), NOT a join back on
+    # doc_id — the join form costs a corpus-wide shuffle for nothing
+    scored = cleaned.select(
         "doc_id",
         "n_lines",
         "doc_keep",
-        "lang",
+        language_id_col(F.col("text_clean")).alias("lang"),
         F.size(F.split(F.trim("text_clean"), _ASCII_WS)).alias("wc"),
         F.length("text_clean").alias("n_chars_clean"),
         F.md5("text_clean").alias("fp"),
@@ -1704,6 +1795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moore_lewis": q_moore_lewis,
         "warc_ingest": q_warc_ingest,
         "refinedweb_pipeline": q_refinedweb_pipeline,
+        "audio_near_pairs": q_audio_near_pairs,
+        "video_near_dup": q_video_near_dup,
         # -- block 3: r4-green, fewest prior green rounds ----------------
         "url_dedup": q_url_dedup,
         "ann_batch": q_ann_batch,
@@ -2402,6 +2495,8 @@ def _fixture_oracles() -> dict[str, str]:
         ("embedding_prototypes", osup.embedding_prototypes_sql),
         ("moore_lewis", osup.moore_lewis_sql),
         ("refinedweb_pipeline", osup.refinedweb_sql),
+        ("audio_near_pairs", lambda sf: osup.audio_near_pairs_sql()),
+        ("video_near_dup", lambda sf: osup.video_near_dup_sql()),
         ("image_quality_filter", lambda sf: osup.image_quality_sql()),
         ("export_prep", lambda sf: osup.export_prep_sql()),
         ("video_frame_sample", lambda sf: osup.video_frame_sample_sql()),

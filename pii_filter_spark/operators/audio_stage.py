@@ -86,3 +86,32 @@ def audio_features(
     return df.select(id_col, bytes_col).mapInPandas(
         _feat, schema=AUDIO_FEATURE_SCHEMA
     )
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    id_col: str = "audio_id",
+    bytes_col: str = "bytes",
+    decoder=None,
+) -> DataFrame:
+    """(id, fp64): 64-bit Haitsma-Kalker fingerprint per clip
+    (audio/fingerprint.py) — decode + fingerprint in ONE Arrow pass,
+    bytes never shuffle. Feeds dedup.hamming_near_pairs (chunks=8 for
+    exact recall to hamming<=7), extending near-dup detection to the
+    audio modality with the same banded operator text simhash and image
+    pHash use."""
+    from ..audio.fingerprint import audio_fp64
+
+    dec = decoder or _default_audio_decoder
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in zip(pdf[id_col], pdf[bytes_col]):
+                sr, samples = dec(bytes(rec[1]))
+                rows.append((rec[0], audio_fp64(samples, sr)))
+            yield pd.DataFrame(rows, columns=["audio_id", "fp64"])
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        _fp, schema="audio_id string, fp64 long"
+    )

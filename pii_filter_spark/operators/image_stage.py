@@ -314,3 +314,32 @@ def resize_to_buckets(
     if with_bytes:
         schema += ", out_bytes binary"
     return df.select(id_col, bytes_col).mapInPandas(_resize, schema=schema)
+
+
+def video_middle_frame_phash(
+    df: DataFrame, id_col: str = "video_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """(id, n_frames, mid_phash): perceptual hash of each clip's MIDDLE
+    frame — the cheap video near-dup key (a re-encoded/re-hosted copy of
+    a clip keeps its middle frame perceptually identical). One Arrow
+    pass: decode MJPEG AVI (video/avi.py), pHash the frame
+    (images/phash.py); bytes never shuffle. Feeds the shared banded
+    hamming operator, completing near-dup coverage across text, image,
+    audio and video with ONE pairing implementation."""
+    from ..images.phash import phash64
+    from ..video.avi import decode_avi_mjpeg
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in zip(pdf[id_col], pdf[bytes_col]):
+                _, frames = decode_avi_mjpeg(bytes(rec[1]))
+                mid = frames[len(frames) // 2]
+                rows.append((rec[0], len(frames), phash64(mid)))
+            yield pd.DataFrame(
+                rows, columns=["video_id", "n_frames", "mid_phash"]
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(
+        _fp, schema="video_id string, n_frames int, mid_phash long"
+    )

@@ -117,14 +117,25 @@ def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def language_id_col(text_col) -> "F.Column":
+    """Language-ID as a COLUMN (Arrow UDF) — composable without a join:
+    `df.withColumn("lang", language_id_col(F.col("text")))` adds the
+    language in place, no shuffle."""
+
     @F.pandas_udf(StringType())
     def _lang(texts: pd.Series) -> pd.Series:
         return pd.Series(
             [detect_language(t) if isinstance(t, str) else "und" for t in texts]
         )
 
-    return df.select(F.col(id_col), _lang(F.col(text_col)).alias("lang_detected"))
+    return _lang(text_col)
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        language_id_col(F.col(text_col)).alias("lang_detected"),
+    )
 
 
 def perplexity_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -931,6 +931,97 @@ def phash_near_pairs_sql(n: int = 400, seed: int = 42,
                        ["VARCHAR", "VARCHAR", "INT"])
 
 
+def audio_near_pairs_sql(n: int = 200, max_hamming: int = 7,
+                         chunks: int = 8) -> str:
+    """q_audio_near_pairs expected pairs: same synth/encode/decode/
+    fingerprint chain, then the chunks x (64/chunks)-bit bucket pairing
+    the banded operator performs."""
+    from .audio.fingerprint import audio_fp64
+    from .audio.wav import decode_wav, encode_wav, synth_tone
+
+    mask64 = (1 << 64) - 1
+    rows = []
+    for i in range(n):
+        x = synth_tone(i)
+        sr, dec = decode_wav(encode_wav(x))
+        rows.append((f"aud_{i:06d}", audio_fp64(dec, sr)))
+        if i % 5 == 0:
+            rng = np.random.default_rng((77, i))
+            noisy = np.clip(
+                0.95 * x + 0.01 * rng.standard_normal(len(x)), -1.0, 1.0
+            )
+            sr2, dec2 = decode_wav(encode_wav(noisy))
+            rows.append((f"aud_{i:06d}_re", audio_fp64(dec2, sr2)))
+    width = 64 // chunks
+    cmask = (1 << width) - 1
+    buckets: dict = {}
+    for rid, fp in rows:
+        for c in range(chunks):
+            buckets.setdefault(
+                (c, (fp >> (width * c)) & cmask), []
+            ).append((rid, fp))
+    pairs: dict = {}
+    for members in buckets.values():
+        assert len(members) <= 2048, "fixture bucket exceeds LSH cap"
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                (xa, pa), (xb, pb) = members[i], members[j]
+                ia, ib = (xa, xb) if xa < xb else (xb, xa)
+                if (ia, ib) in pairs:
+                    continue
+                ham = bin((pa ^ pb) & mask64).count("1")
+                if ham <= max_hamming:
+                    pairs[(ia, ib)] = ham
+    out = [(a, b, h) for (a, b), h in sorted(pairs.items())]
+    return _values_sql(out, ["id_a", "id_b", "hamming"],
+                       ["VARCHAR", "VARCHAR", "INT"])
+
+
+def video_near_dup_sql(n: int = 100, max_hamming: int = 7,
+                       chunks: int = 8) -> str:
+    """q_video_near_dup expected pairs: same synth/encode/decode/
+    middle-frame-pHash chain, same chunk-bucket pairing."""
+    from .images.phash import phash64
+    from .video.avi import decode_avi_mjpeg, encode_avi_mjpeg, synth_clip
+
+    mask64 = (1 << 64) - 1
+    rows = []
+    for i in range(n):
+        frames = synth_clip(i)
+
+        def fp(quality):
+            data = encode_avi_mjpeg(frames, fps=10, quality=quality)
+            decoded = decode_avi_mjpeg(data)[1]
+            return phash64(decoded[len(decoded) // 2])
+
+        rows.append((f"vid_{i:06d}", fp(90)))
+        if i % 4 == 0:
+            rows.append((f"vid_{i:06d}_re", fp(70)))
+    width = 64 // chunks
+    cmask = (1 << width) - 1
+    buckets: dict = {}
+    for rid, ph in rows:
+        for c in range(chunks):
+            buckets.setdefault(
+                (c, (ph >> (width * c)) & cmask), []
+            ).append((rid, ph))
+    pairs: dict = {}
+    for members in buckets.values():
+        assert len(members) <= 2048, "fixture bucket exceeds LSH cap"
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                (xa, pa), (xb, pb) = members[i], members[j]
+                ia, ib = (xa, xb) if xa < xb else (xb, xa)
+                if (ia, ib) in pairs:
+                    continue
+                ham = bin((pa ^ pb) & mask64).count("1")
+                if ham <= max_hamming:
+                    pairs[(ia, ib)] = ham
+    out = [(a, b, h) for (a, b), h in sorted(pairs.items())]
+    return _values_sql(out, ["id_a", "id_b", "hamming"],
+                       ["VARCHAR", "VARCHAR", "INT"])
+
+
 def pixel_phash_pairs_sql(
     n: int = 120,
     seed: int = 42,

@@ -134,6 +134,17 @@ def synth_clip(idx: int, n_frames: int = None) -> List[np.ndarray]:
         r = np.add.outer(gy, gx * abs(math.cos(phase))) / 2
         g = np.add.outer(gy * abs(math.sin(phase)), gx) / 2
         b = np.full((h, w), 32.0 + 8.0 * f)
-        px = np.stack([r, g, b], axis=-1) + rng.normal(0, 2.0, (h, w, 3))
+        # per-clip STATIC texture (outside the frame loop would be
+        # cleaner, but the rng draw order is frozen by existing
+        # fixtures) — pHash needs AC energy: on pure gradients the 8x8
+        # DCT band sits at the median and every bit is a coin flip,
+        # which made re-encoded copies indistinguishable from unrelated
+        # clips (measured: copies 14-22 bits vs cross min 20).
+        tex = np.random.default_rng((778, idx)).normal(0, 28.0, (h, w, 1))
+        px = (
+            np.stack([r, g, b], axis=-1)
+            + tex
+            + rng.normal(0, 2.0, (h, w, 3))
+        )
         frames.append(np.clip(px, 0, 255).astype(np.uint8))
     return frames

@@ -278,6 +278,20 @@ CASES = [
         "the standalone operators.",
     ),
     (
+        "audio_near_pairs",
+        "Audio near-dup: synth+fingerprint are two mapInPandas stages "
+        "off the range source (bytes never shuffle), then the shared "
+        "banded hamming operator — one groupBy on (chunk_idx, "
+        "chunk_val) with in-bucket expansion; chunks=8 gives exact "
+        "recall to hamming<=7.",
+    ),
+    (
+        "video_near_dup",
+        "Video near-dup: MJPEG decode + middle-frame pHash in one "
+        "Arrow pass, then the same banded operator as text/image/"
+        "audio — four modalities through ONE pairing implementation.",
+    ),
+    (
         "bpe_gpt2_counts",
         "Public-vocab BPE counts: one ArrowEvalPython pass (the "
         "merges.txt table parsed once per worker from the closure-"
