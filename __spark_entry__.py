@@ -195,6 +195,57 @@ def q_quality_filter_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heuristic_keep(_docs(spark, sf_dir), "text", ["doc_id"])
 
 
+def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write MERGE on the snapshot seam (the Iceberg CoW shape
+    incremental crawls need): base snapshot of the documents table,
+    then one merge applying UPDATEs (every 10th doc gets ' v2' text)
+    and INSERTs (a new key per 50th doc) atomically as one snapshot —
+    the pre-merge snapshot stays time-travel readable (pinned in
+    test_snapshots). The anti-join's build side is the update key set
+    (broadcastable at crawl scale). Oracle: plain SQL reconstructing the
+    expected merged table."""
+    import shutil
+    import tempfile
+
+    from pii_filter_spark.sources import table_io
+
+    base_dir = tempfile.mkdtemp(prefix="snapmerge_")
+    shutil.rmtree(base_dir, ignore_errors=True)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    base = docs.withColumn("rev", F.lit("base"))
+    table_io.snapshot_write(base, base_dir, mode="overwrite")
+    upd = docs.where(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+        F.lit("upd").alias("rev"),
+    )
+    ins = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("new page "), F.col("doc_id").cast("string")).alias(
+            "text"
+        ),
+        F.lit("new").alias("rev"),
+    )
+    table_io.merge_upsert(
+        spark, base_dir, upd.unionByName(ins), key_col="doc_id"
+    )
+    return table_io.read_table(spark, base_dir).select(
+        "doc_id", "rev", F.length("text").alias("n_chars")
+    )
+
+
+def q_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule loss accounting over the heuristic quality rules (the
+    table every ablation study argues about): n_fail and n_unique_fail
+    (docs dropped by that rule ALONE) per rule, same staged expressions
+    as heuristic_keep so thresholds cannot drift. One codegen pass +
+    one tiny global aggregate + a 5-row stack. Oracle: identical
+    expressions in DuckDB."""
+    from pii_filter_spark.operators.quality_stage import rule_ablation
+
+    return rule_ablation(_docs(spark, sf_dir))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pii_filter_spark.operators.dedup import dedup_exact
 
@@ -1797,6 +1848,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refinedweb_pipeline": q_refinedweb_pipeline,
         "audio_near_pairs": q_audio_near_pairs,
         "video_near_dup": q_video_near_dup,
+        "filter_ablation": q_filter_ablation,
+        "snapshot_merge": q_snapshot_merge,
         # -- block 3: r4-green, fewest prior green rounds ----------------
         "url_dedup": q_url_dedup,
         "ann_batch": q_ann_batch,
@@ -2081,6 +2134,49 @@ def _static_oracles(scrub_case, type_case, scrub_restored_case) -> dict[str, str
         """,
         "url_dedup": _url_dedup_oracle_sql(),
         "url_filter": _url_filter_oracle_sql(),
+        "snapshot_merge": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 10 = 0 THEN 'upd' ELSE 'base' END
+                       AS rev,
+                   CASE WHEN doc_id % 10 = 0 THEN length(text) + 3
+                        ELSE length(text) END AS n_chars
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, 'new' AS rev,
+                   length('new page ' || CAST(doc_id AS VARCHAR)) AS n_chars
+            FROM documents WHERE doc_id % 50 = 0
+        """,
+        "filter_ablation": r"""
+            WITH s AS (
+              SELECT len(regexp_split_to_array(trim(text), '\s+')) AS wc,
+                     CAST(list_sum(list_transform(
+                          regexp_split_to_array(trim(text), '\s+'),
+                          t -> len(t))) AS DOUBLE)
+                       / len(regexp_split_to_array(trim(text), '\s+')) AS ml,
+                     len(text) - len(replace(text, '#', '')) AS hashes,
+                     contains(lower(text), 'lorem ipsum') AS lor,
+                     contains(text, '{') AS brc
+              FROM documents
+            ), f AS (
+              SELECT CAST(NOT (wc >= 3 AND wc <= 256) AS INT) AS f1,
+                     CAST(NOT (ml >= 2.0 AND ml <= 14.0) AS INT) AS f2,
+                     CAST(lor AS INT) AS f3,
+                     CAST(brc AS INT) AS f4,
+                     CAST(CAST(hashes AS DOUBLE) / wc > 0.1 AS INT) AS f5
+              FROM s
+            ), t AS (SELECT *, f1+f2+f3+f4+f5 AS tot FROM f)
+            SELECT 'word_count' AS rule, SUM(f1) AS n_fail,
+                   SUM(CASE WHEN f1 = 1 AND tot = 1 THEN 1 ELSE 0 END)
+                       AS n_unique_fail FROM t
+            UNION ALL SELECT 'mean_word_len', SUM(f2),
+                   SUM(CASE WHEN f2 = 1 AND tot = 1 THEN 1 ELSE 0 END) FROM t
+            UNION ALL SELECT 'lorem_ipsum', SUM(f3),
+                   SUM(CASE WHEN f3 = 1 AND tot = 1 THEN 1 ELSE 0 END) FROM t
+            UNION ALL SELECT 'brace', SUM(f4),
+                   SUM(CASE WHEN f4 = 1 AND tot = 1 THEN 1 ELSE 0 END) FROM t
+            UNION ALL SELECT 'hash_ratio', SUM(f5),
+                   SUM(CASE WHEN f5 = 1 AND tot = 1 THEN 1 ELSE 0 END) FROM t
+        """,
         "warc_ingest": """
             SELECT 'arc-' || CAST(CAST(floor(doc_id / 25) AS BIGINT) AS VARCHAR)
                        AS archive_id,

@@ -206,3 +206,61 @@ def heuristic_keep(df, text_col: str, carry_cols):
         & (F.col("_hashes").cast("double") / wc <= 0.1)
     )
     return staged.select(*carry_cols, keep.alias("keep"))
+
+
+def rule_ablation(df, text_col: str = "text"):
+    """Per-rule loss accounting over the heuristic_keep rule set: for
+    every rule, how many docs FAIL it (n_fail) and how many are dropped
+    by it ALONE (n_unique_fail — the docs that rule uniquely costs the
+    corpus; the number ablation studies argue about). Same staged
+    expressions and thresholds as heuristic_keep so the two cannot
+    drift. ONE pass: five boolean columns → one partial-aggregated
+    global row → a 5-row stack; no UDF, one tiny final exchange."""
+    from pyspark.sql import functions as F
+
+    c = F.col(text_col)
+    staged = df.select(
+        c, F.split(F.trim(c), r"\s+").alias("_toks")
+    ).select(
+        c,
+        F.size("_toks").alias("_wc"),
+        F.aggregate("_toks", F.lit(0), lambda a, t: a + F.length(t))
+        .cast("double")
+        .alias("_tok_chars"),
+        (F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))).alias(
+            "_hashes"
+        ),
+    )
+    wc = F.col("_wc")
+    mean_len = F.col("_tok_chars") / wc
+    fails = {
+        "word_count": ~((wc >= 3) & (wc <= 256)),
+        "mean_word_len": ~((mean_len >= 2.0) & (mean_len <= 14.0)),
+        "lorem_ipsum": F.contains(F.lower(c), F.lit("lorem ipsum")),
+        "brace": F.contains(c, F.lit("{")),
+        "hash_ratio": F.col("_hashes").cast("double") / wc > 0.1,
+    }
+    flagged = staged.select(
+        *[v.alias(f"_f_{k}") for k, v in fails.items()]
+    )
+    n_fails = [F.col(f"_f_{k}").cast("int") for k in fails]
+    total_fails = sum(n_fails[1:], n_fails[0])
+    aggs = []
+    for k in fails:
+        f = F.col(f"_f_{k}").cast("int")
+        aggs.append(F.sum(f).alias(f"nf_{k}"))
+        aggs.append(
+            F.sum(
+                ((f == 1) & (total_fails == 1)).cast("int")
+            ).alias(f"uf_{k}")
+        )
+    wide = flagged.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{k}', nf_{k}, uf_{k}" for k in fails
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(fails)}, {stack_args}) "
+            "AS (rule, n_fail, n_unique_fail)"
+        )
+    )

@@ -199,3 +199,29 @@ def read_manifest(table_path: str) -> List[Dict]:
 
 def completed_part_ids(table_path: str) -> List[int]:
     return sorted(e["part_id"] for e in read_manifest(table_path))
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    key_col: str,
+) -> int:
+    """Copy-on-write MERGE into the snapshot table (the Iceberg CoW
+    shape): the new snapshot is updates ∪ (current rows whose key has no
+    update) — an UPDATE for existing keys, an INSERT for new ones,
+    atomically published as one snapshot; the parent snapshot stays
+    readable (time travel covers pre-merge state).
+
+    Scale shape: the anti-join's build side is the update KEY SET
+    (broadcast when small — the overwhelmingly common incremental-crawl
+    case). A real Iceberg CoW run rewrites only the FILES whose key
+    ranges intersect the updates via file-level stats pruning; this
+    parquet-fallback seam rewrites the table because the fallback keeps
+    no per-file stats index — the join shape is the part that carries
+    to the real table format. Returns the new snapshot id."""
+    current = read_table(spark, table_path)
+    keys = updates.select(key_col).distinct()
+    kept = current.join(keys, key_col, "left_anti")
+    merged = kept.unionByName(updates)
+    return snapshot_write(merged, table_path, mode="overwrite")

@@ -98,3 +98,35 @@ def test_streaming_foreachbatch_snapshot_sink(spark, tmp_path):
     first = read_table(spark, tbl, snapshot_id=1)
     assert first.count() in (5, 7)              # one whole input file
     assert len({r.tag for r in first.collect()}) == 1
+
+
+def test_merge_upsert_cow_semantics_and_time_travel(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from pii_filter_spark.sources import table_io
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, f"t{i}", "base") for i in range(10)],
+        "doc_id long, text string, rev string",
+    )
+    s1 = table_io.snapshot_write(base, path, mode="overwrite")
+    updates = spark.createDataFrame(
+        [(2, "t2x", "upd"), (7, "t7x", "upd"), (100, "t100", "new")],
+        "doc_id long, text string, rev string",
+    )
+    s2 = table_io.merge_upsert(spark, path, updates, key_col="doc_id")
+    assert s2 == s1 + 1
+
+    merged = {r["doc_id"]: (r["text"], r["rev"])
+              for r in table_io.read_table(spark, path).collect()}
+    assert len(merged) == 11
+    assert merged[2] == ("t2x", "upd")       # updated in place
+    assert merged[7] == ("t7x", "upd")
+    assert merged[100] == ("t100", "new")    # inserted
+    assert merged[3] == ("t3", "base")       # untouched rows survive
+
+    # the pre-merge snapshot is still readable (time travel)
+    old = table_io.read_table(spark, path, snapshot_id=s1)
+    assert old.count() == 10
+    assert old.where(F.col("doc_id") == 2).first()["text"] == "t2"

@@ -292,6 +292,21 @@ CASES = [
         "audio — four modalities through ONE pairing implementation.",
     ),
     (
+        "filter_ablation",
+        "Per-rule ablation accounting: five fail booleans in one "
+        "codegen projection, ONE partial-aggregated global row (no "
+        "per-rule passes), then a constant 5-row stack — corpus cost "
+        "is a single scan regardless of rule count.",
+    ),
+    (
+        "snapshot_merge",
+        "Copy-on-write MERGE: the kept-rows side is a LEFT ANTI join "
+        "against the (distinct) update key set — broadcast at "
+        "incremental-crawl scale — unioned with the updates and "
+        "published atomically as one snapshot; the parent snapshot "
+        "remains time-travel readable.",
+    ),
+    (
         "bpe_gpt2_counts",
         "Public-vocab BPE counts: one ArrowEvalPython pass (the "
         "merges.txt table parsed once per worker from the closure-"
