@@ -43,6 +43,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_union_find(e: DataFrame, n_edges: int) -> DataFrame:
+    """Min-id component labeling of a BOUNDED canonical edge list via
+    driver-side union-find (union-by-min keeps every root the minimum
+    of its component, so find() == the distributed labeling)."""
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = e.schema["a"].dataType
+    rows = e.collect()
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        a, b = r["a"], r["b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    labels = [(x, find(x)) for x in sorted(parent)]
+    schema = StructType(
+        [StructField("id", id_type, False),
+         StructField("component", id_type, False)]
+    )
+    return e.sparkSession.createDataFrame(labels, schema)
+
+
 def _canon(df: DataFrame) -> DataFrame:
     """Undirected edge set as distinct (a=min, b=max), self-loops dropped."""
     a = F.least("src", "dst")
@@ -87,12 +120,34 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 50,
+    small_graph_threshold: int = 200_000,
 ) -> DataFrame:
     """(id, component) for every vertex in the edge list; component =
-    min vertex id of the connected component."""
+    min vertex id of the connected component.
+
+    Two physical strategies behind one contract:
+
+      * edge count <= small_graph_threshold: collect the (bounded) edge
+        list and union-find on the driver — near-dup pair graphs are
+        edge-sparse by construction (LSH banding caps bucket fan-out),
+        so after banding the graph routinely fits in MBs even when the
+        corpus is TBs, and the iterative job overhead (one Spark job +
+        localCheckpoint PER star round) dwarfs a driver union-find.
+        This is the same bounded-driver-work pattern as IVF training
+        and the DSIR ratio table: the threshold makes the collect's
+        size an explicit contract, not a hope.
+      * larger graphs: the alternating large-star/small-star loop below
+        (O(log n) rounds, chain-safe) — the 10^12-scale path.
+
+    Both produce the identical min-id labeling (the chain test runs the
+    distributed path explicitly; the gate queries exercise the small
+    path against union-find twin oracles)."""
     e = _canon(
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
     ).localCheckpoint()
+    n_edges = e.count()
+    if n_edges <= small_graph_threshold:
+        return _driver_union_find(e, n_edges)
     vertices = (
         e.select(F.col("a").alias("id"))
         .unionByName(e.select(F.col("b").alias("id")))

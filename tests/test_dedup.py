@@ -148,7 +148,10 @@ def test_connected_components_long_chain(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
     )
-    comp = connected_components(edges)
+    # threshold=0 forces the DISTRIBUTED star loop — this test exists to
+    # pin its chain behavior; the small-graph union-find path would
+    # otherwise absorb a 10k-edge graph
+    comp = connected_components(edges, small_graph_threshold=0)
     assert (
         comp.agg(
             F.count(F.lit(1)).alias("n"),
@@ -181,7 +184,7 @@ def test_connected_components_raises_on_iteration_cap(spark):
     )
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=1)
+        connected_components(edges, max_iter=1, small_graph_threshold=0)
 
 
 def test_minhash_lsh_degenerate_bucket_guard(spark):
@@ -383,3 +386,26 @@ def test_dedup_clusters_best_survivor_is_argmax(spark):
     assert out[1] == (1, False)
     assert out[10] == (10, True) and out[11] == (10, False)
     assert out[99] == (99, True)   # singleton
+
+
+def test_connected_components_paths_agree(spark):
+    """The driver union-find fast path and the distributed star loop
+    must produce the identical min-id labeling on the same graph
+    (random clusters + a chain + singleton-free edge list)."""
+    import random
+
+    from pii_filter_spark.operators.components import connected_components
+
+    rng = random.Random(13)
+    edges = [(i, i + 1) for i in range(50)]                  # chain
+    edges += [(100 + rng.randrange(30), 100 + rng.randrange(30))
+              for _ in range(60)]                            # blob
+    edges += [(200, 201), (202, 201), (203, 200)]            # star
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+    fast = sorted(map(tuple, connected_components(df).collect()))
+    dist = sorted(map(tuple,
+                      connected_components(df, small_graph_threshold=0)
+                      .collect()))
+    assert fast == dist
