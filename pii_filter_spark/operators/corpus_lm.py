@@ -79,11 +79,21 @@ def trigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def train_micronat_table(
-    counts: DataFrame, top_k: int = 4096
+    counts: DataFrame, top_k: int = 4096, materialize: bool = True
 ) -> Tuple[Dict[str, int], int]:
     """(gram -> nll micro-nats, oov micro-nats) from global counts.
     Driver-side work is bounded: top_k rows + 2 scalars collected;
-    add-one smoothing p = (cnt+1)/(total+V+1), OOV p = 1/(total+V+1)."""
+    add-one smoothing p = (cnt+1)/(total+V+1), OOV p = 1/(total+V+1).
+
+    The counts table is localCheckpoint'd first (bounded: one row per
+    distinct gram, |charset|^3 at most) so the two extraction jobs read
+    materialized counts by contract — not by hoping the shuffle-stage
+    reuse that happens to skip the counting scan on a warm context also
+    holds after an executor loss recomputes lineage. Callers that
+    already hold materialized counts (the fused Moore-Lewis path) pass
+    materialize=False."""
+    if materialize:
+        counts = counts.localCheckpoint()
     total, v = counts.agg(
         F.sum("cnt").alias("t"), F.count(F.lit(1)).alias("v")
     ).first()
@@ -179,11 +189,47 @@ def moore_lewis_scores(
     avg_delta_micro): delta = nll_in - nll_gen exactly;
     avg_delta_micro = HALF_UP(delta / n_grams) — one IEEE divide of two
     exact integers, identical in both engines, HALF_UP matching
-    F.round(double). Rank ascending for most-in-domain."""
-    counts_in = trigram_counts(docs.where(in_domain), text_col)
-    counts_gen = trigram_counts(docs, text_col)
-    t_in, oov_in = train_micronat_table(counts_in, top_k)
-    t_gen, oov_gen = train_micronat_table(counts_gen, top_k)
+    F.round(double). Rank ascending for most-in-domain.
+
+    Training is ONE counting scan of the corpus, not two: a single
+    Arrow pass counts every gram twice (slice-conditional and global
+    Counters side by side), the groupBy sums both columns in one
+    shuffle, and the fused (gram, cnt_in, cnt) table — bounded by
+    distinct-gram count — is materialized once; both LM tables extract
+    from it. Identical counts to training each LM separately (the
+    in-domain table sees exactly the grams with cnt_in > 0)."""
+
+    def _count2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            c_in: Counter = Counter()
+            c_all: Counter = Counter()
+            for t, fl in zip(pdf[text_col], pdf["_in_domain"]):
+                gs = trigrams(t if isinstance(t, str) else "")
+                c_all.update(gs)
+                if fl:
+                    c_in.update(gs)
+            if c_all:
+                grams = list(c_all.keys())
+                yield pd.DataFrame({
+                    "gram": grams,
+                    "cnt_in": [c_in.get(g, 0) for g in grams],
+                    "cnt": [c_all[g] for g in grams],
+                })
+
+    flag = in_domain if not isinstance(in_domain, str) else F.expr(in_domain)
+    fused = (
+        docs.select(F.col(text_col), flag.alias("_in_domain"))
+        .mapInPandas(_count2, schema="gram string, cnt_in long, cnt long")
+        .groupBy("gram")
+        .agg(F.sum("cnt_in").alias("cnt_in"), F.sum("cnt").alias("cnt"))
+        .localCheckpoint()
+    )
+    counts_in = fused.where(F.col("cnt_in") > 0).select(
+        "gram", F.col("cnt_in").alias("cnt")
+    )
+    counts_gen = fused.select("gram", "cnt")
+    t_in, oov_in = train_micronat_table(counts_in, top_k, materialize=False)
+    t_gen, oov_gen = train_micronat_table(counts_gen, top_k, materialize=False)
 
     def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
