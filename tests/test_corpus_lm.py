@@ -110,3 +110,22 @@ def test_moore_lewis_matches_twin_and_ranks_in_domain_first(spark):
     assert per_doc[5][3] < per_doc[4][3]
     # empty doc: no grams, delta 0, avg NULL
     assert per_doc[6][1] == 0 and per_doc[6][3] is None
+
+
+def test_moore_lewis_accepts_string_predicate(spark):
+    """in_domain may be a SQL expression string; same labeling as the
+    Column form (the fused counting pass sees an identical flag)."""
+    from pii_filter_spark.operators.corpus_lm import moore_lewis_scores
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "in", "o gato subiu no telhado"),
+        (1, "out", "quarterly revenue projections"),
+        (2, "in", "a casa amarela tem um gato"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    via_col = sorted(map(tuple,
+        moore_lewis_scores(df, F.col("source") == "in").collect()))
+    via_str = sorted(map(tuple,
+        moore_lewis_scores(df, "source = 'in'").collect()))
+    assert via_col == via_str
