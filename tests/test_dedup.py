@@ -409,3 +409,19 @@ def test_connected_components_paths_agree(spark):
                       connected_components(df, small_graph_threshold=0)
                       .collect()))
     assert fast == dist
+
+
+def test_connected_components_string_ids_driver_path(spark):
+    """The vectorized driver path must preserve min-id semantics for
+    STRING vertex ids too (np.unique sorts code points; UTF-8 byte
+    order == code-point order, matching Spark's least/min)."""
+    from pii_filter_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "c"), ("c", "a"), ("x", "y"), ("é", "z")],
+        "id_a string, id_b string",
+    )
+    got = {r["id"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "x": "x", "y": "x", "z": "z", "é": "z"}
