@@ -43,28 +43,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _driver_components(e: DataFrame) -> DataFrame:
-    """Min-id component labeling of a BOUNDED canonical edge list,
-    driver-side and fully vectorized: Arrow-fetch the edges, index the
-    vertex set with np.unique (sorted, so index order == id order —
-    UTF-8 byte order equals code-point order, so this holds for string
-    ids exactly as Spark's `least` does), then hook-and-compress
-    (Shiloach-Vishkin shape): each round min-hooks both edge endpoints
-    and pointer-jumps labels to full compression. Labels only ever copy
-    existing values downward, so the fixpoint is exactly the min vertex
-    index per component — the distributed star loop's contract. O(E)
-    numpy work per round, O(log n) rounds."""
+def _hook_compress(ea, eb, n_vertices: int):
+    """Pure numpy min-id component labeling over index-encoded edges:
+    hook-and-compress (Shiloach-Vishkin shape) — each round min-hooks
+    both edge endpoints and pointer-jumps labels to full compression.
+    Labels only ever copy existing values downward, so the fixpoint is
+    exactly the min vertex index per component. O(E) numpy work per
+    round, O(log n) rounds. Property-tested against a reference
+    union-find (tests/test_components_property.py)."""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.types import StructField, StructType
 
-    id_type = e.schema["a"].dataType
-    pdf = e.toPandas()
-    both = np.concatenate([pdf["a"].to_numpy(), pdf["b"].to_numpy()])
-    uniq, inv = np.unique(both, return_inverse=True)
-    n_edges = len(pdf)
-    ea, eb = inv[:n_edges], inv[n_edges:]
-    lab = np.arange(len(uniq), dtype=np.int64)
+    lab = np.arange(n_vertices, dtype=np.int64)
     for _ in range(64):
         before = lab
         m = np.minimum(lab[ea], lab[eb])
@@ -77,9 +66,30 @@ def _driver_components(e: DataFrame) -> DataFrame:
                 break
             lab = nxt
         if np.array_equal(lab, before):
-            break
-    else:  # pragma: no cover - converges in <= log2(n) <= 64 rounds
-        raise RuntimeError("driver component labeling did not converge")
+            return lab
+    raise RuntimeError(  # pragma: no cover - <= log2(n) <= 64 rounds
+        "driver component labeling did not converge")
+
+
+def _driver_components(e: DataFrame) -> DataFrame:
+    """Min-id component labeling of a BOUNDED canonical edge list,
+    driver-side and fully vectorized: Arrow-fetch the edges, index the
+    vertex set with np.unique (sorted, so index order == id order —
+    UTF-8 byte order equals code-point order, so this holds for string
+    ids exactly as Spark's `least` does), then _hook_compress on the
+    index-encoded edges — same min-id contract as the distributed star
+    loop."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = e.schema["a"].dataType
+    pdf = e.toPandas()
+    both = np.concatenate([pdf["a"].to_numpy(), pdf["b"].to_numpy()])
+    uniq, inv = np.unique(both, return_inverse=True)
+    n_edges = len(pdf)
+    ea, eb = inv[:n_edges], inv[n_edges:]
+    lab = _hook_compress(ea, eb, len(uniq))
     out = pd.DataFrame({"id": uniq, "component": uniq[lab]})
     schema = StructType(
         [StructField("id", id_type, False),
