@@ -1713,6 +1713,19 @@ def q_embedding_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag_prototypes(prototypicality_scores(emb, cents))
 
 
+def q_aesthetic_nsfw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-5B embedding linear probes (Schuhmann et al. 2022 §3.2):
+    aesthetic-score regression head + NSFW classifier head over the
+    frozen image embedding, both applied in ONE mapInPandas pass
+    (per-row gemv, integer micro-units) with a codegen'd keep rule
+    (aesthetic >= 5.0 AND p_nsfw < 0.5, stub-calibrated — the released
+    head weights drop into the same seam). Zero shuffles; fixture
+    oracle is the pure twin (operators/probe_heads.probe_rows)."""
+    from pii_filter_spark.operators.probe_heads import probe_scores
+
+    return probe_scores(_emb(spark, sf_dir))
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer ANN: deterministic k-means + nprobe probe."""
     from pii_filter_spark.operators.similarity import (
@@ -1850,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_near_dup": q_video_near_dup,
         "filter_ablation": q_filter_ablation,
         "snapshot_merge": q_snapshot_merge,
+        "aesthetic_nsfw": q_aesthetic_nsfw,
         # -- block 3: r4-green, fewest prior green rounds ----------------
         "url_dedup": q_url_dedup,
         "ann_batch": q_ann_batch,
@@ -2589,6 +2603,7 @@ def _fixture_oracles() -> dict[str, str]:
         ("corpus_lm_perplexity", osup.corpus_lm_sql),
         ("image_resize_export", lambda sf: osup.image_resize_sql()),
         ("embedding_prototypes", osup.embedding_prototypes_sql),
+        ("aesthetic_nsfw", osup.aesthetic_nsfw_sql),
         ("moore_lewis", osup.moore_lewis_sql),
         ("refinedweb_pipeline", osup.refinedweb_sql),
         ("audio_near_pairs", lambda sf: osup.audio_near_pairs_sql()),

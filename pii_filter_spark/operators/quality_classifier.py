@@ -43,6 +43,7 @@ from __future__ import annotations
 import hashlib
 import math
 import re
+from functools import lru_cache
 from typing import Dict, List, Sequence, Tuple
 
 import pandas as pd
@@ -58,7 +59,12 @@ PARETO_ALPHA = 9.0  # GPT-3's alpha (Brown et al. 2020, Appendix A)
 _TOKEN_RE = re.compile(r"\w+", re.UNICODE)
 
 
+@lru_cache(maxsize=1 << 20)
 def _hash_index(token: str, dim: int) -> int:
+    # Memoized: token frequencies are Zipf-distributed, so the cache
+    # absorbs almost every blake2b call on a scoring pass. Pure
+    # function of (token, dim) — values (and therefore every score
+    # and the oracle twin's retraining) are bit-identical.
     h = hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest()
     return int.from_bytes(h, "little") % dim
 

@@ -1473,3 +1473,16 @@ def dsir_selection_sql(
         ["doc_id", "dsir_weight_unats"],
         ["BIGINT", "BIGINT"],
     )
+
+
+def aesthetic_nsfw_sql(sf_dir: str) -> str:
+    """q_aesthetic_nsfw expected output via the pure twin
+    (operators/probe_heads.probe_rows) on the same md5 stand-in heads."""
+    from .operators.probe_heads import probe_rows
+
+    rows = probe_rows(_read_embeddings(sf_dir))
+    return _values_sql(
+        rows,
+        ["vec_id", "aes_micro", "nsfw_micro", "keep"],
+        ["BIGINT", "BIGINT", "BIGINT", "BOOLEAN"],
+    )
