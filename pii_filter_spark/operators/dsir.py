@@ -30,14 +30,20 @@ oracle reproduces the result bit-for-bit:
 Scale shape (10^12 docs): explode tokens -> groupBy(bucket) with
 map-side partial aggregation into a <= num_buckets-row exact count
 table (bounded collect — the mixing.mixture_rates pattern) -> pure-
-Python log-ratios -> broadcast the literal ratio table back onto the
-raw token stream -> groupBy(doc_id) integer sum -> TakeOrderedAndProject
-for the global top-k.  No global sort of the corpus, no skew risk (md5
-buckets are uniform by construction), and the only driver-side state is
-the count/ratio table, capped at num_buckets rows.  The token stream is
-recomputed for the two consumers rather than cached — at 100 TB a
-second columnar scan is cheaper than materializing an exploded token
-table.
+Python log-ratios -> the <= num_buckets ratio values constant-fold into
+ONE literal array, and every raw document scores itself in place with a
+single `aggregate` higher-order function (per-token md5 bucket ->
+element_at into the literal -> exact long sum) -> TakeOrderedAndProject
+for the global top-k.  The scoring side therefore has ZERO shuffles: no
+exploded-token exchange keyed by doc_id (the previous shape's dominant
+cost — token rows outnumber documents by the mean doc length), no join.
+No global sort of the corpus, no skew risk (md5 buckets are uniform by
+construction), and the only driver-side state is the count/ratio table,
+capped at num_buckets rows.  The integer micro-nat sum is
+order-independent, so the HOF fold is bit-identical to the previous
+groupBy sum and to the fixture oracle.  The token stream is recomputed
+for the two consumers rather than cached — at 100 TB a second columnar
+scan is cheaper than materializing an exploded token table.
 """
 
 from __future__ import annotations
@@ -106,17 +112,11 @@ def ratio_table_rows(
     ]
 
 
-def dsir_bucket_log_ratios(
-    tokens: DataFrame,
-    *,
-    num_buckets: int,
-    alpha: float = 0.5,
-) -> DataFrame:
-    """(bucket, lr_unats) ratio table for a token frame with columns
-    (_b: long bucket, _tgt: boolean).  Exact integer counts are collected
-    (<= num_buckets rows, the bounded mixing.mixture_rates pattern) and
-    the transcendental step runs once, driver-side, in `log_ratio_unats`."""
-    counts = {
+def _bucket_counts(tokens: DataFrame) -> Dict[int, Tuple[int, int]]:
+    """Exact per-bucket (target, raw) token counts for a token frame
+    with columns (_b: long bucket, _tgt: boolean).  Collected driver-side
+    (<= num_buckets rows, the bounded mixing.mixture_rates pattern)."""
+    return {
         int(r["_b"]): (int(r["ct"]), int(r["cr"]))
         for r in tokens.groupBy("_b")
         .agg(
@@ -125,7 +125,17 @@ def dsir_bucket_log_ratios(
         )
         .collect()
     }
-    rows = ratio_table_rows(counts, num_buckets, alpha)
+
+
+def dsir_bucket_log_ratios(
+    tokens: DataFrame,
+    *,
+    num_buckets: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """(bucket, lr_unats) ratio table as a DataFrame — the transcendental
+    step runs once, driver-side, in `log_ratio_unats`."""
+    rows = ratio_table_rows(_bucket_counts(tokens), num_buckets, alpha)
     return tokens.sparkSession.createDataFrame(
         rows, "_b long, lr_unats long"
     )
@@ -145,18 +155,36 @@ def dsir_select(
     slice selected by `is_target`.  Returns (id_col, dsir_weight_unats),
     deterministic under the total order (weight desc, id asc)."""
     tok = df.select(
-        F.col(id_col),
         is_target.alias("_tgt"),
         F.explode(_token_array(text_col)).alias("_w"),
-    ).select(
-        id_col, "_tgt", hashed_bucket(F.col("_w"), num_buckets).alias("_b")
-    )
-    ratio = dsir_bucket_log_ratios(tok, num_buckets=num_buckets, alpha=alpha)
+    ).select("_tgt", hashed_bucket(F.col("_w"), num_buckets).alias("_b"))
+    counts = _bucket_counts(tok)
+    lr = dict(ratio_table_rows(counts, num_buckets, alpha))
+    # dense bucket -> micro-nat lookup; buckets never seen in the count
+    # pass cannot appear at scoring time (scoring tokens are a subset of
+    # counted tokens), but get the principled (0, 0) smoothed value
+    tt = sum(ct for ct, _ in counts.values())
+    tr = sum(cr for _, cr in counts.values())
+    empty = log_ratio_unats(0, 0, tt, tr, num_buckets, alpha)
+    ratio_arr = F.array(
+        *[F.lit(int(lr.get(b, empty))) for b in range(num_buckets)]
+    )  # all-literal CreateArray — constant-folds into ONE array literal
     scored = (
-        tok.where(~F.col("_tgt"))
-        .join(F.broadcast(ratio), "_b")
-        .groupBy(id_col)
-        .agg(F.sum("lr_unats").alias("dsir_weight_unats"))
+        df.where(~is_target)
+        .select(F.col(id_col), _token_array(text_col).alias("_toks"))
+        .where(F.size("_toks") > 0)
+        .select(
+            id_col,
+            F.aggregate(
+                "_toks",
+                F.lit(0).cast("long"),
+                lambda acc, w: acc
+                + F.element_at(
+                    ratio_arr,
+                    (hashed_bucket(w, num_buckets) + F.lit(1)).cast("int"),
+                ),
+            ).alias("dsir_weight_unats"),
+        )
     )
     return scored.orderBy(
         F.desc("dsir_weight_unats"), F.asc(id_col)

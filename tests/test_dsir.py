@@ -70,9 +70,14 @@ def test_hashed_bucket_range(spark):
     assert 0 <= mn and mx <= 31
 
 
-def test_dsir_plan_broadcasts_ratio_table(spark):
+def test_dsir_plan_zero_shuffle_scoring(spark):
+    """The ratio table constant-folds into a literal array and scoring
+    is one aggregate HOF per doc: scan -> project -> TakeOrdered. No
+    join, no exchange — the exploded-token shuffle keyed by doc_id is
+    gone from the scoring side entirely."""
     plan = dsir_select(
         _corpus(spark), F.col("source") == "tgt", num_buckets=256, k=6
     )._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
-    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
