@@ -90,13 +90,14 @@ CASES = [
     ),
     (
         "dsir_selection",
-        "DSIR importance resampling: the <=1024-row bucket log-ratio "
-        "table is a BroadcastHashJoin onto the raw token stream (the "
-        "corpus-side tokens never shuffle for the join); both groupBys "
-        "show partial_sum HashAggregate before their exchange "
-        "(map-side combine over md5-uniform bucket / doc_id keys), and "
-        "the top-k is TakeOrderedAndProject — no global sort of the "
-        "scored corpus.",
+        "DSIR importance resampling: the counting pass is the ONLY "
+        "shuffle (partial_count HashAggregate over md5-uniform buckets "
+        "before its exchange, <=1024 result rows); the scoring pass has "
+        "ZERO shuffles — the bucket log-ratio table constant-folds into "
+        "one literal array and every document scores itself in place "
+        "with a single `aggregate` higher-order fold (no exploded-token "
+        "exchange, no join), and the top-k is TakeOrderedAndProject — "
+        "no global sort of the scored corpus.",
     ),
     (
         "embedding_near_pairs",
