@@ -906,7 +906,7 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation order or engine version."""
     from pii_filter_spark.operators.dsir import dsir_select
 
-    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    docs = _par(spark, _docs(spark, sf_dir).select("doc_id", "source", "text"))
     return dsir_select(docs, F.col("source") == "src0", k=100)
 
 
