@@ -108,7 +108,7 @@ def _captions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
         .select("doc_id", F.concat(F.col("text"), clause).alias("caption"))
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
     )
 
 
@@ -165,7 +165,7 @@ def q_sensitive_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     caps = (
         _docs(spark, sf_dir)
         .select("doc_id", F.concat(F.col("text"), clause).alias("caption"))
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
     )
     return scrub_stage(caps).select(
         "doc_id",
@@ -445,7 +445,7 @@ def q_restore_label_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     caps = (
         _docs(spark, sf_dir)
         .select("doc_id", F.concat(F.col("text"), clause).alias("caption"))
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, F.col("doc_id"))
     )
     return restore_stage(scrub_stage(caps), cleanup_labels=True).select(
         "doc_id", "restored_caption", "restore_ok"
