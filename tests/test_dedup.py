@@ -100,11 +100,12 @@ def test_char_shingles_match_naive_polynomial():
         if len(t) < k:
             t = t.ljust(k, "_")
         naive = set()
-        for i in range(len(t) - k + 1):
-            h = np.uint64(0)
-            for ch in t[i:i + k]:
-                h = h * _SHINGLE_BASE + np.uint64(ord(ch))
-            naive.add(int(h & np.uint64(_MAX_SHINGLE_HASH)))
+        with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+            for i in range(len(t) - k + 1):
+                h = np.uint64(0)
+                for ch in t[i:i + k]:
+                    h = h * _SHINGLE_BASE + np.uint64(ord(ch))
+                naive.add(int(h & np.uint64(_MAX_SHINGLE_HASH)))
         got = _char_shingles(text, k)
         assert sorted(naive) == got.tolist()
 
