@@ -1669,6 +1669,18 @@ def q_perplexity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_scores(_par(spark, _docs(spark, sf_dir)))
 
 
+def q_ccnet_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity binning per language (Wenzek
+    et al. 2020 §4.3): cutoffs trained on a bounded md5-order sample
+    per language (discrete tercile order statistics, driver-side over
+    <= n_langs*256 rows), applied as a broadcast join + codegen CASE —
+    no corpus-wide sort. Oracle: pure twin (langid + ppl + identical
+    sample/cutoff arithmetic)."""
+    from pii_filter_spark.operators.ccnet_bins import ccnet_bins
+
+    return ccnet_bins(_par(spark, _docs(spark, sf_dir)))
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc minhash signature, projected to one scalar column per hash
     (h00..h31): the driver's canonicalizer pandas-sorts every column and
@@ -1874,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_ablation": q_filter_ablation,
         "snapshot_merge": q_snapshot_merge,
         "aesthetic_nsfw": q_aesthetic_nsfw,
+        "ccnet_bins": q_ccnet_bins,
         # -- block 3: r4-green, fewest prior green rounds ----------------
         "url_dedup": q_url_dedup,
         "ann_batch": q_ann_batch,
@@ -2631,6 +2644,7 @@ def _fixture_oracles() -> dict[str, str]:
         ("semdedup", osup.semdedup_sql),
         ("langid_documents", osup.langid_sql),
         ("perplexity_scores", osup.perplexity_sql),
+        ("ccnet_bins", osup.ccnet_bins_sql),
         ("minhash_signatures", osup.minhash_sql),
         ("ann_lsh", osup.ann_lsh_sql),
         ("ann_ivf", osup.ann_ivf_sql),

@@ -136,6 +136,42 @@ def perplexity_sql(sf_dir: str) -> str:
     return _values_sql(rows, ["doc_id", "ppl"], ["BIGINT", "DOUBLE"])
 
 
+def ccnet_bins_sql(sf_dir: str, sample_per_lang: int = 256) -> str:
+    """Pure twin of operators/ccnet_bins.ccnet_bins: same langid/ppl
+    models, same md5(id)-order bounded sample, same discrete tercile
+    cutoffs, same <= comparisons."""
+    import hashlib
+
+    from .core.langid import detect_language
+    from .core.perplexity import perplexity
+    from .operators.ccnet_bins import HEAD, MIDDLE, TAIL, tercile_cutoffs
+
+    docs = _read_docs(sf_dir)
+    lang = {d: detect_language(t) for d, t in docs}
+    ppl = {d: _round_like_spark(perplexity(t)) for d, t in docs}
+
+    by_lang: dict = {}
+    for d, _ in docs:
+        by_lang.setdefault(lang[d], []).append(d)
+    cuts = {}
+    for lg, ids in by_lang.items():
+        ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        cuts[lg] = tercile_cutoffs(
+            sorted(ppl[i] for i in ids[:sample_per_lang])
+        )
+
+    rows = []
+    for d, _ in docs:
+        t_head, t_mid = cuts[lang[d]]
+        b = HEAD if ppl[d] <= t_head else MIDDLE if ppl[d] <= t_mid else TAIL
+        rows.append((d, lang[d], ppl[d], b))
+    return _values_sql(
+        rows,
+        ["doc_id", "lang", "ppl", "bin"],
+        ["BIGINT", "VARCHAR", "DOUBLE", "VARCHAR"],
+    )
+
+
 def minhash_sql(sf_dir: str, num_hashes: int = 32, shingle_k: int = 5,
                 seed: int = 7) -> str:
     """One row per doc, one scalar column per hash (h00..h31) — mirrors
