@@ -1681,6 +1681,17 @@ def q_ccnet_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccnet_bins(_par(spark, _docs(spark, sf_dir)))
 
 
+def q_ccnet_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet dedup-key normalization (Wenzek et al. 2020 §4.1): lower,
+    frozen accent/punct translate tables, digits->0, drop non-printing,
+    collapse whitespace; md5 of the result is the dedup key. ONE codegen
+    projection — no UDF, no shuffle. Oracle: pure twin (same tables,
+    same op order)."""
+    from pii_filter_spark.operators.ccnet_normalize import ccnet_normalize
+
+    return ccnet_normalize(_par(spark, _docs(spark, sf_dir)))
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc minhash signature, projected to one scalar column per hash
     (h00..h31): the driver's canonicalizer pandas-sorts every column and
@@ -1887,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_merge": q_snapshot_merge,
         "aesthetic_nsfw": q_aesthetic_nsfw,
         "ccnet_bins": q_ccnet_bins,
+        "ccnet_normalize": q_ccnet_normalize,
         # -- block 3: r4-green, fewest prior green rounds ----------------
         "url_dedup": q_url_dedup,
         "ann_batch": q_ann_batch,
@@ -2645,6 +2657,7 @@ def _fixture_oracles() -> dict[str, str]:
         ("langid_documents", osup.langid_sql),
         ("perplexity_scores", osup.perplexity_sql),
         ("ccnet_bins", osup.ccnet_bins_sql),
+        ("ccnet_normalize", osup.ccnet_normalize_sql),
         ("minhash_signatures", osup.minhash_sql),
         ("ann_lsh", osup.ann_lsh_sql),
         ("ann_ivf", osup.ann_ivf_sql),

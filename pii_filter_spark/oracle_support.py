@@ -172,6 +172,22 @@ def ccnet_bins_sql(sf_dir: str, sample_per_lang: int = 256) -> str:
     )
 
 
+def ccnet_normalize_sql(sf_dir: str) -> str:
+    """Pure twin of operators/ccnet_normalize.ccnet_normalize: same
+    frozen translate tables, same op order, same md5 digest."""
+    from .operators.ccnet_normalize import normalize_digest, normalize_text
+
+    rows = [
+        (d, normalize_text(t), normalize_digest(t))
+        for d, t in _read_docs(sf_dir)
+    ]
+    return _values_sql(
+        rows,
+        ["doc_id", "norm_text", "norm_digest"],
+        ["BIGINT", "VARCHAR", "VARCHAR"],
+    )
+
+
 def minhash_sql(sf_dir: str, num_hashes: int = 32, shingle_k: int = 5,
                 seed: int = 7) -> str:
     """One row per doc, one scalar column per hash (h00..h31) — mirrors
