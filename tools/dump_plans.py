@@ -201,6 +201,22 @@ CASES = [
         "semi-join back).",
     ),
     (
+        "ccnet_normalize",
+        "CCNet dedup-key normalization: ONE WholeStageCodegen projection "
+        "(lower/translate/regexp_replace chain + md5) directly over the "
+        "scan — zero Python nodes, zero exchanges beyond the test-scale "
+        "scan spread; at 10^12 rows this fuses into the scan stage.",
+    ),
+    (
+        "ccnet_bins",
+        "CCNet per-language perplexity terciles: the scoring pass is the "
+        "langid+perplexity Arrow stage joined to the tiny cutoff table "
+        "via BroadcastHashJoin (no corpus shuffle), bin assignment one "
+        "codegen CASE; the only corpus shuffle in the whole operator is "
+        "the bounded two-phase sample window over a narrow "
+        "(id, lang, ppl) projection.",
+    ),
+    (
         "url_filter",
         "URL keep/drop rules: one WholeStageCodegen projection — host/"
         "domain regexp_extract, blocklist isin, integer soft-word score, "
