@@ -1681,6 +1681,34 @@ def q_ccnet_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ccnet_bins(_par(spark, _docs(spark, sf_dir)))
 
 
+def q_image_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-shape image-side blur/placeholder filter: variance of the
+    Laplacian + grayscale entropy from ONE decode pass (mapInPandas off
+    the scan, bytes never shuffle), keep as a codegen predicate. Input:
+    synthetic table ∪ box-blurred PNG twins of every 4th image (must be
+    dropped by the lap_var rule) ∪ four solid-fill placeholders (must be
+    dropped by the entropy rule). Oracle: pure twin (same decode, same
+    numpy metrics, same thresholds)."""
+    from pii_filter_spark.operators.image_sharpness import (
+        blur_variants,
+        flat_placeholder_rows,
+        image_sharpness,
+    )
+    from pii_filter_spark.sources.synth import build_input_table
+
+    imgs = (
+        build_input_table(spark, 120, seed=42, num_partitions=8)
+        .select("image_id", "bytes")
+        .localCheckpoint()  # feeds both the original and the blur branch
+    )
+    idx = F.substring("image_id", 5, 8).cast("int")
+    blurred = blur_variants(imgs.where(idx % 4 == 0))
+    flats = spark.createDataFrame(
+        flat_placeholder_rows(), "image_id string, bytes binary"
+    )
+    return image_sharpness(imgs.unionByName(blurred).unionByName(flats))
+
+
 def q_ccnet_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet dedup-key normalization (Wenzek et al. 2020 §4.1): lower,
     frozen accent/punct translate tables, digits->0, drop non-printing,
@@ -1899,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aesthetic_nsfw": q_aesthetic_nsfw,
         "ccnet_bins": q_ccnet_bins,
         "ccnet_normalize": q_ccnet_normalize,
+        "image_sharpness": q_image_sharpness,
         # -- block 3: r4-green, fewest prior green rounds ----------------
         "url_dedup": q_url_dedup,
         "ann_batch": q_ann_batch,
@@ -2658,6 +2687,7 @@ def _fixture_oracles() -> dict[str, str]:
         ("perplexity_scores", osup.perplexity_sql),
         ("ccnet_bins", osup.ccnet_bins_sql),
         ("ccnet_normalize", osup.ccnet_normalize_sql),
+        ("image_sharpness", lambda sf: osup.image_sharpness_sql()),
         ("minhash_signatures", osup.minhash_sql),
         ("ann_lsh", osup.ann_lsh_sql),
         ("ann_ivf", osup.ann_ivf_sql),

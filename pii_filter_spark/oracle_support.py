@@ -188,6 +188,48 @@ def ccnet_normalize_sql(sf_dir: str) -> str:
     )
 
 
+def image_sharpness_sql(n: int = 120, seed: int = 42) -> str:
+    """Pure twin of q_image_sharpness: same synth rows, same box-blur /
+    flat-placeholder variants, same numpy metrics and thresholds."""
+    from .images import decode_image
+    from .images.codecs import encode_image
+    from .images.sharpness import box_blur
+    from .operators.image_sharpness import (
+        ENTROPY_MIN,
+        LAPVAR_MIN,
+        flat_placeholder_rows,
+        sharpness_row,
+    )
+
+    rows = []
+
+    def emit(iid: str, data: bytes) -> None:
+        try:
+            lv, ent = sharpness_row(data)
+        except (ValueError, NotImplementedError):
+            lv = ent = None
+        keep = lv is not None and lv >= LAPVAR_MIN and ent >= ENTROPY_MIN
+        rows.append((iid, lv, ent, keep))
+
+    synth = _synth_rows(n, seed)
+    for r in synth:
+        emit(r["image_id"], bytes(r["bytes"]))
+    for i, r in enumerate(synth):
+        if i % 4 == 0:
+            try:
+                px = decode_image(bytes(r["bytes"]))
+            except (ValueError, NotImplementedError):
+                continue
+            emit(r["image_id"] + "~blur", encode_image(box_blur(px), "png"))
+    for iid, data in flat_placeholder_rows():
+        emit(iid, data)
+    return _values_sql(
+        rows,
+        ["image_id", "lap_var", "entropy", "keep"],
+        ["VARCHAR", "DOUBLE", "DOUBLE", "BOOLEAN"],
+    )
+
+
 def minhash_sql(sf_dir: str, num_hashes: int = 32, shingle_k: int = 5,
                 seed: int = 7) -> str:
     """One row per doc, one scalar column per hash (h00..h31) — mirrors
