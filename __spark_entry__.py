@@ -1709,6 +1709,22 @@ def q_image_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_sharpness(imgs.unionByName(blurred).unionByName(flats))
 
 
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction PLANNER (Iceberg rewriteDataFiles binpack
+    shape): first-fit bin assignment in (size DESC, id) order via the
+    two-phase banded prefix sum — size bands, driver exclusive prefix
+    over <= 64 band totals, bounded per-band window; no single-task
+    global window. Inventory here: one synthetic 'file' per document
+    with size = len(text). Oracle: static single-window SQL (integer
+    addition is associative, so two-phase == one-window exactly)."""
+    from pii_filter_spark.operators.compaction import compaction_plan
+
+    inv = _docs(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("size_bytes")
+    )
+    return compaction_plan(inv, target_bytes=8192)
+
+
 def q_ccnet_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet dedup-key normalization (Wenzek et al. 2020 §4.1): lower,
     frozen accent/punct translate tables, digits->0, drop non-printing,
@@ -1928,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_bins": q_ccnet_bins,
         "ccnet_normalize": q_ccnet_normalize,
         "image_sharpness": q_image_sharpness,
+        "compaction_plan": q_compaction_plan,
         # -- block 3: r4-green, fewest prior green rounds ----------------
         "url_dedup": q_url_dedup,
         "ann_batch": q_ann_batch,
@@ -2152,6 +2169,22 @@ def _static_oracles(scrub_case, type_case, scrub_restored_case) -> dict[str, str
             SELECT min(doc_id) AS doc_id
             FROM documents
             GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        """,
+        "compaction_plan": r"""
+            WITH inv AS (
+              SELECT doc_id, CAST(len(text) AS BIGINT) AS size_bytes
+              FROM documents
+            ), c AS (
+              SELECT doc_id, size_bytes,
+                     COALESCE(SUM(size_bytes) OVER (
+                         ORDER BY size_bytes DESC, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS cum_before
+              FROM inv
+            )
+            SELECT doc_id, size_bytes, cum_before,
+                   cum_before // 8192 AS compaction_group
+            FROM c
         """,
         "fingerprints": r"""
             SELECT doc_id,
