@@ -217,6 +217,19 @@ CASES = [
         "(id, lang, ppl) projection.",
     ),
     (
+        "compaction_plan",
+        "Small-file compaction planner: the two-phase banded prefix sum — "
+        "one tiny band aggregate (map-side combined), one bounded "
+        "per-band window keyed by the size band; NO single-task global "
+        "window despite the globally-ordered cumsum semantics.",
+    ),
+    (
+        "image_sharpness",
+        "Image blur/placeholder filter: one ArrowEvalPython/MapInPandas "
+        "decode pass directly over the scan union (bytes never shuffle), "
+        "keep is a codegen predicate above it.",
+    ),
+    (
         "url_filter",
         "URL keep/drop rules: one WholeStageCodegen projection — host/"
         "domain regexp_extract, blocklist isin, integer soft-word score, "
