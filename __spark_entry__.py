@@ -1709,6 +1709,52 @@ def q_image_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_sharpness(imgs.unionByName(blurred).unionByName(flats))
 
 
+def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal duplicate clusters: caption-digest stars (CCNet-
+    normalized text) ∪ pixel-pHash near pairs (banded, pigeonhole-exact
+    <= 7 bits) → connected components → min-id survivors. Input:
+    synthetic table ∪ q90 re-encodes of every 4th image with REWRITTEN
+    captions (image edge only) ∪ 'zz_' rows reusing every 6th caption
+    over FRESH seed-777 images (text edge only). Oracle: pure twin
+    (same digests, all-pairs hamming <= 7, union-find)."""
+    from pii_filter_spark.operators.cross_modal_dedup import cross_modal_dedup
+    from pii_filter_spark.operators.image_stage import reencode_variants
+    from pii_filter_spark.sources.synth import build_input_table
+
+    imgs = (
+        build_input_table(spark, 120, seed=42, num_partitions=8)
+        .select("image_id", "bytes", "caption")
+        .localCheckpoint()  # feeds originals, re-encode, and zz branches
+    )
+    idx = F.substring("image_id", 5, 8).cast("int")
+    rehosted = reencode_variants(imgs.where(idx % 4 == 0), quality=90)
+    # digit-free unique captions: ccnet normalization maps every digit
+    # to 0, so digit-bearing ids would collapse to ONE digest and weld
+    # all re-encodes together through a text edge
+    rehosted = rehosted.withColumn(
+        "caption",
+        F.concat(
+            F.lit("re-hosted copy "),
+            F.translate(F.col("image_id"), "0123456789", "abcdefghij"),
+        ),
+    )
+    fresh = (
+        build_input_table(spark, 120, seed=777, num_partitions=8)
+        .where(idx % 6 == 0)
+        .select("image_id", F.col("bytes").alias("fresh_bytes"))
+    )
+    zz = (
+        imgs.where(idx % 6 == 0)
+        .join(F.broadcast(fresh), "image_id")
+        .select(
+            F.concat(F.lit("zz_"), F.col("image_id")).alias("image_id"),
+            F.col("fresh_bytes").alias("bytes"),
+            "caption",
+        )
+    )
+    return cross_modal_dedup(imgs.unionByName(rehosted).unionByName(zz))
+
+
 def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction PLANNER (Iceberg rewriteDataFiles binpack
     shape): first-fit bin assignment in (size DESC, id) order via the
@@ -1945,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_normalize": q_ccnet_normalize,
         "image_sharpness": q_image_sharpness,
         "compaction_plan": q_compaction_plan,
+        "cross_modal_dedup": q_cross_modal_dedup,
         # -- block 3: r4-green, fewest prior green rounds ----------------
         "url_dedup": q_url_dedup,
         "ann_batch": q_ann_batch,
@@ -2721,6 +2768,7 @@ def _fixture_oracles() -> dict[str, str]:
         ("ccnet_bins", osup.ccnet_bins_sql),
         ("ccnet_normalize", osup.ccnet_normalize_sql),
         ("image_sharpness", lambda sf: osup.image_sharpness_sql()),
+        ("cross_modal_dedup", lambda sf: osup.cross_modal_dedup_sql()),
         ("minhash_signatures", osup.minhash_sql),
         ("ann_lsh", osup.ann_lsh_sql),
         ("ann_ivf", osup.ann_ivf_sql),

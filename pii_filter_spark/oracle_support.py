@@ -230,6 +230,98 @@ def image_sharpness_sql(n: int = 120, seed: int = 42) -> str:
     )
 
 
+def cross_modal_dedup_sql(
+    n: int = 120, seed: int = 42, fresh_seed: int = 777,
+    quality: int = 90, max_hamming: int = 7,
+) -> str:
+    """Pure twin of q_cross_modal_dedup: same input construction, caption
+    groups via the same normalize_text digest, image pairs via all-pairs
+    hamming <= 7 (exact — the operator's chunks=8 banding is pigeonhole-
+    exact at <= 7 and the asserted bucket sizes keep caps from firing),
+    union-find, min-id cluster labels."""
+    import hashlib
+
+    from .images import decode_image
+    from .images.codecs import encode_image
+    from .images.phash import phash64
+    from .operators.ccnet_normalize import normalize_text
+
+    rows = []  # (image_id, bytes, caption)
+    synth = _synth_rows(n, seed)
+    fresh = _synth_rows(n, fresh_seed)
+    for i, r in enumerate(synth):
+        rows.append((r["image_id"], bytes(r["bytes"]), r["caption"]))
+    for i, r in enumerate(synth):
+        if i % 4 == 0:
+            try:
+                px = decode_image(bytes(r["bytes"]))
+                data = encode_image(px, "jpeg", quality=quality)
+            except (ValueError, NotImplementedError):
+                continue
+            rid = r["image_id"] + "_re"
+            cap = "re-hosted copy " + rid.translate(
+                str.maketrans("0123456789", "abcdefghij")
+            )
+            rows.append((rid, data, cap))
+    for i, r in enumerate(synth):
+        if i % 6 == 0:
+            rows.append((
+                "zz_" + r["image_id"], bytes(fresh[i]["bytes"]), r["caption"]
+            ))
+
+    parent = {rid: rid for rid, _, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    by_caption: dict = {}
+    for rid, _, cap in rows:
+        key = hashlib.md5(normalize_text(cap).encode("utf-8")).hexdigest()
+        by_caption.setdefault(key, []).append(rid)
+    for members in by_caption.values():
+        for m in members[1:]:
+            union(members[0], m)
+
+    hashes = []
+    for rid, data, _ in rows:
+        try:
+            hashes.append((rid, phash64(decode_image(data))))
+        except (ValueError, NotImplementedError):
+            continue
+    buckets: dict = {}
+    for rid, ph in hashes:
+        for c in range(8):
+            buckets.setdefault((c, (ph >> (8 * c)) & 0xFF), 0)
+            buckets[(c, (ph >> (8 * c)) & 0xFF)] += 1
+    assert max(buckets.values()) <= 2048, "fixture bucket exceeds LSH cap"
+    mask64 = (1 << 64) - 1
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            (xa, pa), (xb, pb) = hashes[i], hashes[j]
+            if bin((pa ^ pb) & mask64).count("1") <= max_hamming:
+                union(xa, xb)
+
+    # find() compresses to the min id because union always hooks the
+    # larger root under the smaller — matching connected_components.
+    out = []
+    for rid, _, _ in rows:
+        cluster = find(rid)
+        out.append((rid, cluster, rid == cluster))
+    return _values_sql(
+        out,
+        ["image_id", "cluster_id", "is_survivor"],
+        ["VARCHAR", "VARCHAR", "BOOLEAN"],
+    )
+
+
 def minhash_sql(sf_dir: str, num_hashes: int = 32, shingle_k: int = 5,
                 seed: int = 7) -> str:
     """One row per doc, one scalar column per hash (h00..h31) — mirrors
