@@ -217,6 +217,14 @@ CASES = [
         "(id, lang, ppl) projection.",
     ),
     (
+        "cross_modal_dedup",
+        "Cross-modal dedup: caption edges are ONE window over the digest "
+        "(min-id star, no quadratic expansion), image edges reuse the "
+        "banded pHash bucket shuffle off a single MapInPandas decode "
+        "pass; bytes never shuffle; the union feeds the log-round "
+        "components loop.",
+    ),
+    (
         "compaction_plan",
         "Small-file compaction planner: the two-phase banded prefix sum — "
         "one tiny band aggregate (map-side combined), one bounded "
