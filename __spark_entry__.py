@@ -1709,6 +1709,22 @@ def q_image_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_sharpness(imgs.unionByName(blurred).unionByName(flats))
 
 
+def q_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset export facts: the synthetic table packed into 8 real
+    POSIX ustar shards ({key}.jpg/.png + .txt + .json per sample, fixed
+    mtime, stable order) — one applyInPandas group per md5-uniform
+    shard, tar built executor-side. Output (shard_id, n_samples,
+    tar_len, tar_md5); the oracle re-derives the archive BYTES through
+    the same pure codec, so the md5 match proves byte-exact tars."""
+    from pii_filter_spark.sources.synth import build_input_table
+    from pii_filter_spark.sources.webdataset import write_webdataset
+
+    imgs = build_input_table(spark, 120, seed=42, num_partitions=8).select(
+        "image_id", "bytes", "caption", "fmt", "w", "h"
+    )
+    return write_webdataset(imgs, num_shards=8)
+
+
 def q_cross_modal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal duplicate clusters: caption-digest stars (CCNet-
     normalized text) ∪ pixel-pHash near pairs (banded, pigeonhole-exact
@@ -1992,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_sharpness": q_image_sharpness,
         "compaction_plan": q_compaction_plan,
         "cross_modal_dedup": q_cross_modal_dedup,
+        "webdataset_shards": q_webdataset_shards,
         # -- block 3: r4-green, fewest prior green rounds ----------------
         "url_dedup": q_url_dedup,
         "ann_batch": q_ann_batch,
@@ -2769,6 +2786,7 @@ def _fixture_oracles() -> dict[str, str]:
         ("ccnet_normalize", osup.ccnet_normalize_sql),
         ("image_sharpness", lambda sf: osup.image_sharpness_sql()),
         ("cross_modal_dedup", lambda sf: osup.cross_modal_dedup_sql()),
+        ("webdataset_shards", lambda sf: osup.webdataset_shards_sql()),
         ("minhash_signatures", osup.minhash_sql),
         ("ann_lsh", osup.ann_lsh_sql),
         ("ann_ivf", osup.ann_ivf_sql),

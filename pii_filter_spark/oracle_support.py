@@ -322,6 +322,34 @@ def cross_modal_dedup_sql(
     )
 
 
+def webdataset_shards_sql(n: int = 120, seed: int = 42,
+                          num_shards: int = 8) -> str:
+    """Pure twin of q_webdataset_shards: same shard hash, same in-shard
+    order, same ustar codec — md5 equality proves byte-exact archives."""
+    import hashlib
+
+    from .sources.webdataset import build_shard_tar, shard_of
+
+    by_shard: dict = {}
+    for r in _synth_rows(n, seed):
+        row = {
+            "image_id": r["image_id"], "bytes": bytes(r["bytes"]),
+            "caption": r["caption"], "fmt": r["fmt"],
+            "w": r["w"], "h": r["h"],
+        }
+        by_shard.setdefault(shard_of(r["image_id"], num_shards), []).append(row)
+    rows = []
+    for sid in sorted(by_shard):
+        data = build_shard_tar(by_shard[sid])
+        rows.append((sid, len(by_shard[sid]), len(data),
+                     hashlib.md5(data).hexdigest()))
+    return _values_sql(
+        rows,
+        ["shard_id", "n_samples", "tar_len", "tar_md5"],
+        ["BIGINT", "BIGINT", "BIGINT", "VARCHAR"],
+    )
+
+
 def minhash_sql(sf_dir: str, num_hashes: int = 32, shingle_k: int = 5,
                 seed: int = 7) -> str:
     """One row per doc, one scalar column per hash (h00..h31) — mirrors
