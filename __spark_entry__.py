@@ -204,12 +204,19 @@ def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     test_snapshots). The anti-join's build side is the update key set
     (broadcastable at crawl scale). Oracle: plain SQL reconstructing the
     expected merged table."""
+    import hashlib
     import shutil
     import tempfile
 
     from pii_filter_spark.sources import table_io
 
-    base_dir = tempfile.mkdtemp(prefix="snapmerge_")
+    # ONE deterministic scratch dir per sf_dir, wiped at query start —
+    # mkdtemp-per-call leaked two documents-table snapshots into /tmp on
+    # every bench/gate invocation
+    base_dir = os.path.join(
+        tempfile.gettempdir(),
+        "snapmerge_" + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
     shutil.rmtree(base_dir, ignore_errors=True)
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     base = docs.withColumn("rev", F.lit("base"))
@@ -1953,15 +1960,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # prefix must contain every query that still lacks a driver-green
     # row in the latest CORRECTNESS artifact; multi-round-green cheap
     # queries rotate to the tail. Enforced by
-    # tests/test_driver_contract.py::test_unverified_queries_in_first_50,
-    # which reads the latest CORRECTNESS_r*.json and fails if a
-    # never-green (or stalest) query sits past position 50.
+    # tests/test_queries.py::test_unverified_queries_in_first_50,
+    # which reads every CORRECTNESS_r*.json and fails if a query with
+    # no green row in ANY of them sits past position 50.
     #
     # Block 1 (21): every query whose last driver-green row is r3 or
     # earlier — incl. the 7 never sampled (clip_alignment,
     # exact_substring, dsir_selection, pack_sequences, pixel_phash_pairs,
     # multimodal_curation, dedup_best) — cheapest-first within the block.
-    # Block 2 (2): queries NEW this round (never had a chance at a row).
+    # Block 2 (21): queries NEW this round (never had a chance at a row).
+    #   21 + 21 = 42 of the 50 prefix slots are spoken for — only 8
+    #   slack slots remain; the guard test is the real arbiter.
     # Block 3 (27): r4-green queries with the fewest green rounds.
     # Block 4 (23): multi-round-green tail (3-4 green rows each).
     return {
@@ -2323,11 +2332,11 @@ def _static_oracles(scrub_case, type_case, scrub_restored_case) -> dict[str, str
         """,
         "filter_ablation": r"""
             WITH s AS (
-              SELECT len(regexp_split_to_array(trim(text), '\s+')) AS wc,
+              SELECT len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS wc,
                      CAST(list_sum(list_transform(
-                          regexp_split_to_array(trim(text), '\s+'),
+                          regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+'),
                           t -> len(t))) AS DOUBLE)
-                       / len(regexp_split_to_array(trim(text), '\s+')) AS ml,
+                       / len(regexp_split_to_array(trim(text), '[ \t\n\x0B\f\r]+')) AS ml,
                      len(text) - len(replace(text, '#', '')) AS hashes,
                      contains(lower(text), 'lorem ipsum') AS lor,
                      contains(text, '{') AS brc

@@ -241,7 +241,11 @@ def parse_merges_txt(text: str) -> List[Tuple[bytes, bytes]]:
     merges: List[Tuple[bytes, bytes]] = []
     for ln in text.splitlines():
         ln = ln.strip()
-        if not ln or ln.startswith("#"):
+        # only the `#version` HEADER is a comment — GPT-2's released
+        # table contains legitimate merges whose left token begins with
+        # '#' ("# #", "## #", ...), which a bare startswith('#') skip
+        # would silently drop
+        if not ln or ln.startswith("#version"):
             continue
         parts = ln.split(" ")
         if len(parts) != 2:

@@ -112,7 +112,11 @@ def ccnet_bins(
         (lang, *tercile_cutoffs(sorted(ppls)))
         for lang, ppls in sorted(by_lang.items())
     ]
-    cuts = spark.createDataFrame(cut_rows, ["lang", "t_head", "t_mid"])
+    # explicit DDL so an empty input yields an empty result, not a
+    # schema-inference error
+    cuts = spark.createDataFrame(
+        cut_rows, "lang string, t_head double, t_mid double"
+    )
 
     # Scoring pass: recompute (lang, ppl), broadcast-join the cutoffs,
     # one CASE. Every language present got a cutoff row (each non-empty

@@ -57,9 +57,10 @@ def compaction_plan(
         F.min(size_col).alias("lo"), F.max(size_col).alias("hi")
     ).collect()[0]
     if bounds["lo"] is None:
+        id_type = df.schema[id_col].dataType.simpleString()
         return df.sparkSession.createDataFrame(
             [],
-            f"{id_col} long, {size_col} long, cum_before long, "
+            f"{id_col} {id_type}, {size_col} long, cum_before long, "
             "compaction_group long",
         )
     lo, hi = int(bounds["lo"]), int(bounds["hi"])

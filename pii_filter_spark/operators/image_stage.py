@@ -264,6 +264,8 @@ def resize_export_row(
     from ..images.phash import area_resize_rgb
     from .export_prep import _log_aspect_micro
 
+    if not buckets:
+        raise ValueError("buckets must be non-empty")
     px = decode_image(bytes(data))
     h, w = px.shape[0], px.shape[1]
     la = _log_aspect_micro(float(w), float(h))
@@ -290,14 +292,23 @@ def resize_to_buckets(
     mapInPandas pass, bytes never shuffle. with_bytes=True emits the
     re-encoded bytes for a writeback job; default emits scalar facts
     (len + md5) so the driver query stays cheap to hash-check."""
+    if not buckets:
+        # misconfiguration must fail fast here — inside the task it
+        # would be swallowed by the per-row quarantine below
+        raise ValueError("buckets must be non-empty")
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for rec in zip(pdf[id_col], pdf[bytes_col]):
-                bw, bh, n, md5, jb = resize_export_row(
-                    rec[1], buckets, quality
-                )
+                try:
+                    bw, bh, n, md5, jb = resize_export_row(
+                        rec[1], buckets, quality
+                    )
+                except (ValueError, NotImplementedError):
+                    # quarantine undecodable rows (null facts) instead
+                    # of failing the whole export task deterministically
+                    bw = bh = n = md5 = jb = None
                 row = [rec[0], bw, bh, n, md5]
                 if with_bytes:
                     row.append(jb)
@@ -333,9 +344,16 @@ def video_middle_frame_phash(
         for pdf in batches:
             rows = []
             for rec in zip(pdf[id_col], pdf[bytes_col]):
-                _, frames = decode_avi_mjpeg(bytes(rec[1]))
-                mid = frames[len(frames) // 2]
-                rows.append((rec[0], len(frames), phash64(mid)))
+                try:
+                    _, frames = decode_avi_mjpeg(bytes(rec[1]))
+                    if not frames:
+                        raise ValueError("zero-frame clip")
+                    mid = frames[len(frames) // 2]
+                    rows.append((rec[0], len(frames), phash64(mid)))
+                except (ValueError, NotImplementedError):
+                    # quarantine, same semantics as compute_phash: the
+                    # null hash drops out of the near-dup pairing
+                    rows.append((rec[0], None, None))
             yield pd.DataFrame(
                 rows, columns=["video_id", "n_frames", "mid_phash"]
             )

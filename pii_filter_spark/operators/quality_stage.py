@@ -18,6 +18,10 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Java regex \s+ spelled as its explicit ASCII class so the DuckDB
+# oracles can use the IDENTICAL pattern (RE2's \s omits \x0B)
+ASCII_WS = "[ \\t\\n\\x0B\\f\\r]+"
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
@@ -184,7 +188,7 @@ def heuristic_keep(df, text_col: str, carry_cols):
 
     c = F.col(text_col)
     staged = df.select(
-        *carry_cols, c, F.split(F.trim(c), r"\s+").alias("_toks")
+        *carry_cols, c, F.split(F.trim(c), ASCII_WS).alias("_toks")
     ).select(
         *carry_cols,
         c,
@@ -220,7 +224,7 @@ def rule_ablation(df, text_col: str = "text"):
 
     c = F.col(text_col)
     staged = df.select(
-        c, F.split(F.trim(c), r"\s+").alias("_toks")
+        c, F.split(F.trim(c), ASCII_WS).alias("_toks")
     ).select(
         c,
         F.size("_toks").alias("_wc"),

@@ -1145,6 +1145,37 @@ def phash_near_pairs_sql(n: int = 400, seed: int = 42,
                        ["VARCHAR", "VARCHAR", "INT"])
 
 
+def _banded_pairs(rows, max_hamming: int, chunks: int = 8):
+    """The banded hamming operator's chunk-bucket pairing as ONE pure
+    twin shared by every 64-bit locality-hash fixture (pixel pHash,
+    audio fingerprint, video middle-frame pHash): (id, hash) rows ->
+    sorted (id_a, id_b, hamming) among pairs sharing >= 1 chunk value.
+    Asserts bucket sizes stay under the operator's cap so the exact
+    quadratic-branch semantics hold."""
+    mask64 = (1 << 64) - 1
+    width = 64 // chunks
+    cmask = (1 << width) - 1
+    buckets: dict = {}
+    for rid, hv in rows:
+        for c in range(chunks):
+            buckets.setdefault((c, (hv >> (width * c)) & cmask), []).append(
+                (rid, hv)
+            )
+    pairs: dict = {}
+    for members in buckets.values():
+        assert len(members) <= 2048, "fixture bucket exceeds LSH cap"
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                (xa, pa), (xb, pb) = members[i], members[j]
+                ia, ib = (xa, xb) if xa < xb else (xb, xa)
+                if (ia, ib) in pairs:
+                    continue
+                ham = bin((pa ^ pb) & mask64).count("1")
+                if ham <= max_hamming:
+                    pairs[(ia, ib)] = ham
+    return [(a, b, h) for (a, b), h in sorted(pairs.items())]
+
+
 def audio_near_pairs_sql(n: int = 200, max_hamming: int = 7,
                          chunks: int = 8) -> str:
     """q_audio_near_pairs expected pairs: same synth/encode/decode/
@@ -1153,7 +1184,6 @@ def audio_near_pairs_sql(n: int = 200, max_hamming: int = 7,
     from .audio.fingerprint import audio_fp64
     from .audio.wav import decode_wav, encode_wav, synth_tone
 
-    mask64 = (1 << 64) - 1
     rows = []
     for i in range(n):
         x = synth_tone(i)
@@ -1166,27 +1196,7 @@ def audio_near_pairs_sql(n: int = 200, max_hamming: int = 7,
             )
             sr2, dec2 = decode_wav(encode_wav(noisy))
             rows.append((f"aud_{i:06d}_re", audio_fp64(dec2, sr2)))
-    width = 64 // chunks
-    cmask = (1 << width) - 1
-    buckets: dict = {}
-    for rid, fp in rows:
-        for c in range(chunks):
-            buckets.setdefault(
-                (c, (fp >> (width * c)) & cmask), []
-            ).append((rid, fp))
-    pairs: dict = {}
-    for members in buckets.values():
-        assert len(members) <= 2048, "fixture bucket exceeds LSH cap"
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                (xa, pa), (xb, pb) = members[i], members[j]
-                ia, ib = (xa, xb) if xa < xb else (xb, xa)
-                if (ia, ib) in pairs:
-                    continue
-                ham = bin((pa ^ pb) & mask64).count("1")
-                if ham <= max_hamming:
-                    pairs[(ia, ib)] = ham
-    out = [(a, b, h) for (a, b), h in sorted(pairs.items())]
+    out = _banded_pairs(rows, max_hamming, chunks)
     return _values_sql(out, ["id_a", "id_b", "hamming"],
                        ["VARCHAR", "VARCHAR", "INT"])
 
@@ -1198,7 +1208,6 @@ def video_near_dup_sql(n: int = 100, max_hamming: int = 7,
     from .images.phash import phash64
     from .video.avi import decode_avi_mjpeg, encode_avi_mjpeg, synth_clip
 
-    mask64 = (1 << 64) - 1
     rows = []
     for i in range(n):
         frames = synth_clip(i)
@@ -1211,27 +1220,7 @@ def video_near_dup_sql(n: int = 100, max_hamming: int = 7,
         rows.append((f"vid_{i:06d}", fp(90)))
         if i % 4 == 0:
             rows.append((f"vid_{i:06d}_re", fp(70)))
-    width = 64 // chunks
-    cmask = (1 << width) - 1
-    buckets: dict = {}
-    for rid, ph in rows:
-        for c in range(chunks):
-            buckets.setdefault(
-                (c, (ph >> (width * c)) & cmask), []
-            ).append((rid, ph))
-    pairs: dict = {}
-    for members in buckets.values():
-        assert len(members) <= 2048, "fixture bucket exceeds LSH cap"
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                (xa, pa), (xb, pb) = members[i], members[j]
-                ia, ib = (xa, xb) if xa < xb else (xb, xa)
-                if (ia, ib) in pairs:
-                    continue
-                ham = bin((pa ^ pb) & mask64).count("1")
-                if ham <= max_hamming:
-                    pairs[(ia, ib)] = ham
-    out = [(a, b, h) for (a, b), h in sorted(pairs.items())]
+    out = _banded_pairs(rows, max_hamming, chunks)
     return _values_sql(out, ["id_a", "id_b", "hamming"],
                        ["VARCHAR", "VARCHAR", "INT"])
 
@@ -1249,7 +1238,6 @@ def pixel_phash_pairs_sql(
     from .images.codecs import encode_image
     from .images.phash import phash64
 
-    mask64 = (1 << 64) - 1
     rows = []
     for i, r in enumerate(_synth_rows(n, seed)):
         px = decode_image(bytes(r["bytes"]))
@@ -1257,25 +1245,7 @@ def pixel_phash_pairs_sql(
         if i % 4 == 0:
             vpx = decode_image(encode_image(px, "jpeg", quality=quality))
             rows.append((r["image_id"] + "_re", phash64(vpx)))
-    buckets: dict = {}
-    for rid, ph in rows:
-        for c in range(8):  # 8x8-bit chunks, mirroring chunks=8
-            buckets.setdefault((c, (ph >> (8 * c)) & 0xFF), []).append(
-                (rid, ph)
-            )
-    pairs: dict = {}
-    for members in buckets.values():
-        assert len(members) <= 2048, "fixture bucket exceeds LSH cap"
-        for i in range(len(members)):
-            for j in range(i + 1, len(members)):
-                (xa, pa), (xb, pb) = members[i], members[j]
-                ia, ib = (xa, xb) if xa < xb else (xb, xa)
-                if (ia, ib) in pairs:
-                    continue
-                ham = bin((pa ^ pb) & mask64).count("1")
-                if ham <= max_hamming:
-                    pairs[(ia, ib)] = ham
-    out = [(a, b, h) for (a, b), h in sorted(pairs.items())]
+    out = _banded_pairs(rows, max_hamming, chunks=8)
     return _values_sql(out, ["id_a", "id_b", "hamming"],
                        ["VARCHAR", "VARCHAR", "INT"])
 

@@ -48,7 +48,10 @@ def gunzip_members(data: bytes) -> bytes:
     out = []
     while data:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out.append(d.decompress(data))
+        try:
+            out.append(d.decompress(data))
+        except zlib.error:
+            break  # non-gzip trailing bytes: keep what decoded cleanly
         data = d.unused_data
         if not d.eof:
             break  # truncated member: keep what decoded cleanly

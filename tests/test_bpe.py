@@ -122,3 +122,14 @@ def test_parse_merges_txt_rejects_garbage():
         parse_merges_txt("a b c\n")          # three tokens
     with pytest.raises(ValueError):
         parse_merges_txt("\x00 b\n")          # outside the byte alphabet
+
+
+def test_parse_merges_txt_keeps_hash_initial_merges():
+    # GPT-2's released table contains merges whose tokens begin with
+    # '#' — only the '#version' HEADER is a comment.
+    from pii_filter_spark.core.bpe import parse_merges_txt
+
+    txt = "#version: 0.2\n# #\n## #\na b\n"
+    assert parse_merges_txt(txt) == [
+        (b"#", b"#"), (b"##", b"#"), (b"a", b"b")
+    ]

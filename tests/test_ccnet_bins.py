@@ -84,3 +84,8 @@ def test_ccnet_bins_small_sample_still_covers_every_language(spark):
     out = ccnet_bins(df, sample_per_lang=4).collect()
     assert len(out) == len(rows)
     assert {r["bin"] for r in out} <= {HEAD, MIDDLE, TAIL}
+
+
+def test_ccnet_bins_empty_input(spark):
+    df = spark.createDataFrame([], "doc_id: long, text: string")
+    assert ccnet_bins(df).collect() == []

@@ -63,3 +63,10 @@ def test_compact_snapshot_rewrites_small_files(spark, tmp_path):
     # time travel: the pre-compaction snapshot still reads fine
     old = table_io.read_table(spark, table, snapshot_id=s1)
     assert old.count() == 2000
+
+
+def test_plan_empty_input_preserves_string_id_type(spark):
+    df = spark.createDataFrame([], "doc_id: string, size_bytes: long")
+    out = compaction_plan(df)
+    assert out.collect() == []
+    assert out.schema["doc_id"].dataType.simpleString() == "string"

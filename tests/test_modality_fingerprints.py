@@ -83,3 +83,17 @@ def test_spark_stages_match_pure_rows(spark):
         decoded = decode_avi_mjpeg(data)[1]
         assert vg[vid] == (len(decoded),
                            phash64(decoded[len(decoded) // 2]))
+
+
+def test_video_middle_frame_phash_quarantines_bad_rows(spark):
+    from pii_filter_spark.operators.image_stage import video_middle_frame_phash
+    from pii_filter_spark.video.avi import encode_avi_mjpeg, synth_clip
+
+    rows = [
+        ("ok", bytes(encode_avi_mjpeg(synth_clip(3), fps=10, quality=90))),
+        ("bad", b"\x00\x01 not an avi"),
+    ]
+    df = spark.createDataFrame(rows, "video_id: string, bytes: binary")
+    got = {r["video_id"]: r for r in video_middle_frame_phash(df).collect()}
+    assert got["ok"]["mid_phash"] is not None
+    assert got["bad"]["mid_phash"] is None and got["bad"]["n_frames"] is None

@@ -57,3 +57,16 @@ def test_engine_matches_oracle_quality_on_corpus():
     captions = gen_pandas(500, seed=23).caption.tolist()
     for c in captions:
         assert drop_reasons(c) == oracle.quality_drop_reasons(c), repr(c)
+
+
+def test_filter_ablation_ws_class_matches_oracle_on_vertical_tab(spark):
+    # Java \s includes \x0B, RE2's does not — both sides now use the
+    # explicit ASCII class, so a VT-bearing doc tokenizes identically.
+    from pii_filter_spark.operators.quality_stage import rule_ablation
+
+    rows = [(1, "alpha\x0bbeta gamma"), (2, "one two three four")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["rule"]: (r["n_fail"], r["n_unique_fail"])
+           for r in rule_ablation(df, text_col="text").collect()}
+    # doc 1: VT splits -> 3 words (>=3 passes word_count)
+    assert got["word_count"][0] == 0

@@ -96,3 +96,17 @@ def test_with_bytes_emits_decodable_jpeg(spark):
     px = decode_image(bytes(out["out_bytes"]))
     assert px.shape == (64, 64, 3)
     assert len(bytes(out["out_bytes"])) == out["out_len"]
+
+
+def test_resize_quarantines_undecodable_and_rejects_empty_buckets(spark):
+    import pytest
+
+    from pii_filter_spark.operators.image_stage import resize_to_buckets
+
+    df = spark.createDataFrame(
+        [("bad", b"not an image")], "image_id: string, bytes: binary"
+    )
+    out = resize_to_buckets(df, buckets=((64, 64),)).collect()
+    assert len(out) == 1 and out[0]["out_md5"] is None
+    with pytest.raises(ValueError):
+        resize_to_buckets(df, buckets=())

@@ -84,3 +84,12 @@ def test_spark_stage_explodes_archives(spark):
     assert rows[0] == ("a0", 0, "conversion", "https://a.example/1",
                        "plain wet text")
     assert [r[1] for r in rows[:3]] == [0, 1, 2]
+
+
+def test_gunzip_members_tolerates_trailing_garbage():
+    from pii_filter_spark.sources.warc import _gzip_member, gunzip_members
+
+    good = _gzip_member(b"record one") + _gzip_member(b"record two")
+    # non-gzip trailing bytes end the scan instead of raising zlib.error
+    assert gunzip_members(good + b"\x00garbage\xff") == b"record onerecord two"
+    assert gunzip_members(b"not gzip at all") == b""
