@@ -205,6 +205,7 @@ def q_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     (broadcastable at crawl scale). Oracle: plain SQL reconstructing the
     expected merged table."""
     import hashlib
+    import os
     import shutil
     import tempfile
 
