@@ -1717,6 +1717,17 @@ def q_image_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_sharpness(imgs.unionByName(blurred).unionByName(flats))
 
 
+def q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-stable train/val/test split (98/1/1): portable md5-prefix
+    bucket vs literal cumulative thresholds, ONE codegen CASE — zero
+    shuffles, membership a pure function of doc_id (re-runs, reshards,
+    and retries can never leak eval rows into train). Oracle: the
+    identical expression in plain DuckDB SQL."""
+    from pii_filter_spark.operators.splits import assign_splits
+
+    return assign_splits(_docs(spark, sf_dir).select("doc_id"))
+
+
 def q_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset export facts: the synthetic table packed into 8 real
     POSIX ustar shards ({key}.jpg/.png + .txt + .json per sample, fixed
@@ -2019,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": q_compaction_plan,
         "cross_modal_dedup": q_cross_modal_dedup,
         "webdataset_shards": q_webdataset_shards,
+        "split_assignment": q_split_assignment,
         # -- block 3: r4-green, fewest prior green rounds ----------------
         "url_dedup": q_url_dedup,
         "ann_batch": q_ann_batch,
@@ -2243,6 +2255,20 @@ def _static_oracles(scrub_case, type_case, scrub_restored_case) -> dict[str, str
             SELECT min(doc_id) AS doc_id
             FROM documents
             GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        """,
+        "split_assignment": r"""
+            WITH b AS (
+              SELECT doc_id,
+                     CAST(CAST(concat('0x',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+                          AS UBIGINT) AS BIGINT) % 10000 AS split_bucket
+              FROM documents
+            )
+            SELECT doc_id, split_bucket,
+                   CASE WHEN split_bucket < 9800 THEN 'train'
+                        WHEN split_bucket < 9900 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
         """,
         "compaction_plan": r"""
             WITH inv AS (
