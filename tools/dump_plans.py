@@ -217,6 +217,12 @@ CASES = [
         "(id, lang, ppl) projection.",
     ),
     (
+        "split_assignment",
+        "Hash-stable train/val/test split: ONE codegen projection (md5 "
+        "bucket + literal-threshold CASE) over the scan — zero shuffles, "
+        "zero Python; membership is a pure function of the id.",
+    ),
+    (
         "cross_modal_dedup",
         "Cross-modal dedup: caption edges are ONE window over the digest "
         "(min-id star, no quadratic expansion), image edges reuse the "
